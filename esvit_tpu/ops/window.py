@@ -1,0 +1,86 @@
+"""Window partitioning + shifted-window masks + relative-position indices.
+
+TPU-first reimplementation of the Swin windowing machinery
+(ref: models/swin_transformer.py:40-69 window_partition/window_reverse,
+:96-110 relative-position index, :249-272 SW-MSA mask). Everything here is
+*static*: masks and indices are computed in numpy at trace time (shapes are
+static under jit), cached with lru_cache, and baked into the compiled program
+as constants — the reference rebuilds its mask every forward
+(swin_transformer.py:297 is a dead cache lookup); we pay zero runtime cost.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def window_partition(x: jnp.ndarray, window_size: int) -> jnp.ndarray:
+    """(B, H, W, C) -> (B*nW, window_size*window_size, C). H, W divisible."""
+    B, H, W, C = x.shape
+    ws = window_size
+    x = x.reshape(B, H // ws, ws, W // ws, ws, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, ws * ws, C)
+
+
+def window_reverse(windows: jnp.ndarray, window_size: int, H: int, W: int) -> jnp.ndarray:
+    """(B*nW, ws*ws, C) -> (B, H, W, C)."""
+    ws = window_size
+    C = windows.shape[-1]
+    B = windows.shape[0] // ((H // ws) * (W // ws))
+    x = windows.reshape(B, H // ws, W // ws, ws, ws, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H, W, C)
+
+
+@functools.lru_cache(maxsize=None)
+def relative_position_index(wh: int, ww: int) -> np.ndarray:
+    """(wh*ww, wh*ww) int32 index into the (2wh-1)*(2ww-1) bias table.
+
+    Same construction as swin_transformer.py:100-109: pairwise coordinate
+    deltas shifted to start at 0, row-major flattened.
+    """
+    coords = np.stack(np.meshgrid(np.arange(wh), np.arange(ww), indexing="ij"))
+    flat = coords.reshape(2, -1)                                   # 2, N
+    rel = flat[:, :, None] - flat[:, None, :]                      # 2, N, N
+    rel = rel.transpose(1, 2, 0).astype(np.int64)                  # N, N, 2
+    rel[:, :, 0] += wh - 1
+    rel[:, :, 1] += ww - 1
+    rel[:, :, 0] *= 2 * ww - 1
+    return rel.sum(-1).astype(np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def shifted_window_mask(H: int, W: int, window_size: int, shift_size: int) -> np.ndarray:
+    """(nW, N, N) float32 additive mask (0 / -100) for SW-MSA.
+
+    Mirrors the reference's create_attn_mask (swin_transformer.py:249-272):
+    the *padded* grid (Hp, Wp) is labeled into 9 regions by window/shift
+    slices, partitioned into windows, and pairs of tokens from different
+    regions get -100.
+    """
+    ws, ss = window_size, shift_size
+    Hp = int(np.ceil(H / ws)) * ws
+    Wp = int(np.ceil(W / ws)) * ws
+    img = np.zeros((Hp, Wp), dtype=np.int32)
+    slices = (slice(0, -ws), slice(-ws, -ss), slice(-ss, None))
+    cnt = 0
+    for hs in slices:
+        for wsl in slices:
+            img[hs, wsl] = cnt
+            cnt += 1
+    # partition into windows -> (nW, ws*ws)
+    mw = img.reshape(Hp // ws, ws, Wp // ws, ws).transpose(0, 2, 1, 3).reshape(-1, ws * ws)
+    diff = mw[:, None, :] - mw[:, :, None]                         # nW, N, N
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def pad_to_window_multiple(H: int, W: int, window_size: int) -> tuple[int, int]:
+    ws = window_size
+    Hp = int(np.ceil(H / ws)) * ws
+    Wp = int(np.ceil(W / ws)) * ws
+    return Hp, Wp

@@ -1,0 +1,2 @@
+from esvit_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                     param_sharding, replicated)

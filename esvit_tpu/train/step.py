@@ -1,0 +1,155 @@
+"""The jitted EsViT training step.
+
+One pure function replaces the reference's per-iteration body
+(ref: main_esvit.py:499-600 train_one_epoch): teacher forward on the 2
+global views, student forward on all views, DINO/DDINO loss with center EMA,
+per-param grad clip, last-layer freeze, AdamW, teacher EMA with cosine
+momentum. All schedules are computed in-step from the (traced) step counter.
+
+bf16 compute replaces the fp16 GradScaler (no scaler state; grads/params are
+fp32, activations bf16 — matching AMP autocast behavior).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.core import FrozenDict
+
+from esvit_tpu import losses
+from esvit_tpu.config import TrainConfig
+from esvit_tpu.models.esvit import EsViTModel
+from esvit_tpu.train import optim as optim_lib
+from esvit_tpu.utils import schedules
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray                 # int32 global step
+    student: Any                      # fp32 param pytree
+    teacher: Any                      # fp32 param pytree (EMA of student)
+    opt_state: Any
+    centers: losses.DinoCenters
+
+
+class EsViTTrainer:
+    """Builds the model, schedules, optimizer, and the jittable step fn."""
+
+    def __init__(self, cfg: TrainConfig, total_batch_size: int | None = None):
+        self.cfg = cfg
+        self.model = EsViTModel(cfg.model, cfg.head,
+                                use_dense_prediction=cfg.loss.use_dense_prediction,
+                                dtype=cfg.dtype)
+        o = cfg.optim
+        self.total_steps = o.epochs * cfg.steps_per_epoch
+        self.warmup_steps = o.warmup_epochs * cfg.steps_per_epoch
+        # Linear LR scaling rule (main_esvit.py:423): lr * total_batch / 256.
+        tb = total_batch_size if total_batch_size is not None else o.batch_size_per_device
+        self.base_lr = o.lr * tb / 256.0
+
+        self.lr_fn = functools.partial(
+            schedules.cosine_schedule, base_value=self.base_lr,
+            final_value=o.min_lr, total_steps=self.total_steps,
+            warmup_steps=self.warmup_steps)
+        self.wd_fn = functools.partial(
+            schedules.cosine_schedule, base_value=o.weight_decay,
+            final_value=o.weight_decay_end, total_steps=self.total_steps)
+        self.momentum_fn = functools.partial(
+            schedules.cosine_schedule, base_value=o.momentum_teacher,
+            final_value=1.0, total_steps=self.total_steps)
+        self.teacher_temp_fn = functools.partial(
+            schedules.teacher_temp_schedule,
+            warmup_teacher_temp=cfg.loss.warmup_teacher_temp,
+            teacher_temp=cfg.loss.teacher_temp,
+            warmup_teacher_temp_epochs=cfg.loss.warmup_teacher_temp_epochs)
+
+    # ---------------------------------------------------------------- init
+    def init_state(self, rng: jax.Array, crops) -> TrainState:
+        init_fn = jax.jit(lambda r: self.model.init({"params": r}, crops,
+                                                    deterministic=True))
+        params = init_fn(rng)["params"]
+        params = jax.tree.map(lambda x: x.astype(jnp.float32), params)
+        self.optimizer = self.make_optimizer(params)
+        opt_state = self.optimizer.init(params)
+        # Teacher starts as a copy of the student (main_esvit.py:380-383).
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            student=params,
+            teacher=jax.tree.map(jnp.copy, params),
+            opt_state=opt_state,
+            centers=losses.DinoCenters.zeros(self.cfg.loss.out_dim),
+        )
+
+    def make_optimizer(self, params):
+        return optim_lib.make_optimizer(self.cfg.optim, params,
+                                        self.lr_fn, self.wd_fn)
+
+    # ---------------------------------------------------------------- step
+    def train_step(self, state: TrainState, batch, rng: jax.Array):
+        """batch: tuple of per-resolution crop arrays
+        ((2B, Sg, Sg, 3), (L*B, Sl, Sl, 3), ...). Returns (state, metrics)."""
+        cfg = self.cfg
+        B = batch[0].shape[0] // 2
+        ncrops = 2 + (batch[1].shape[0] // B if len(batch) > 1 else 0)
+
+        step = state.step
+        epoch = step // cfg.steps_per_epoch
+        t_temp = self.teacher_temp_fn(epoch)
+        dtype = cfg.dtype
+
+        teacher_in = (batch[0].astype(dtype),)
+        student_in = tuple(b.astype(dtype) for b in batch)
+
+        t_out = self.model.apply({"params": state.teacher}, teacher_in,
+                                 deterministic=True)
+
+        def loss_fn(params):
+            rngs = {"droppath": rng, "dropout": jax.random.fold_in(rng, 1)}
+            s_out = self.model.apply({"params": params}, student_in,
+                                     deterministic=False, rngs=rngs)
+            if cfg.loss.use_dense_prediction:
+                loss, new_centers = losses.ddino_loss(
+                    s_out, t_out, state.centers, t_temp, ncrops=ncrops,
+                    batch_size=B, student_temp=cfg.loss.student_temp,
+                    center_momentum=cfg.loss.center_momentum)
+            else:
+                loss, new_center = losses.dino_loss(
+                    s_out, t_out, state.centers.center, t_temp, ncrops=ncrops,
+                    student_temp=cfg.loss.student_temp,
+                    center_momentum=cfg.loss.center_momentum)
+                new_centers = state.centers._replace(center=new_center)
+            return loss, new_centers
+
+        (loss, new_centers), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.student)
+
+        # Last-layer freeze (utils.py:118-123): first freeze_last_layer epochs.
+        ll_mask = optim_lib.last_layer_mask(grads)
+        frozen = epoch < cfg.optim.freeze_last_layer_epochs
+        grads = optim_lib.apply_last_layer_freeze(grads, ll_mask, frozen)
+
+        updates, opt_state = self.optimizer.update(grads, state.opt_state,
+                                                   state.student)
+        # Re-zero frozen-leaf updates so weight decay doesn't leak in
+        # (torch skips grad=None params entirely).
+        updates = optim_lib.apply_last_layer_freeze(updates, ll_mask, frozen)
+        student = optax.apply_updates(state.student, updates)
+
+        # Teacher EMA (main_esvit.py:586-590): p_k <- m p_k + (1-m) p_q.
+        m = self.momentum_fn(step)
+        teacher = jax.tree.map(lambda t, s: t * m + s * (1.0 - m),
+                               state.teacher, student)
+
+        new_state = TrainState(step=step + 1, student=student, teacher=teacher,
+                               opt_state=opt_state, centers=new_centers)
+        metrics = {
+            "loss": loss,
+            "lr": self.lr_fn(step),
+            "wd": self.wd_fn(step),
+            "teacher_momentum": m,
+            "teacher_temp": t_temp,
+        }
+        return new_state, metrics
