@@ -1,0 +1,208 @@
+"""Import reference torch checkpoints into esvit_tpu param pytrees.
+
+The released EsViT checkpoints (ref: main_esvit.py:476-488 save layout) store
+``{'student': sd, 'teacher': sd, 'optimizer', 'epoch', 'args', 'dino_loss'}``
+where each state_dict has backbone keys at the root plus ``head.*`` /
+``head_dense.*`` (heads are attached as attributes, main_esvit.py:239-254),
+with an optional ``module.`` DDP prefix (stripped like utils.py:78-103).
+
+Layout conversions torch -> flax:
+- Linear ``weight`` (out, in)        -> ``kernel`` (in, out)           [T]
+- Conv2d ``weight`` (out, in, kh, kw)-> ``kernel`` (kh, kw, in, out)
+- LayerNorm ``weight``/``bias``      -> ``ln/scale``, ``ln/bias``
+- weight_norm ``weight_v`` (out, in) -> ``kernel_v`` (in, out),
+  ``weight_g`` (out, 1)              -> ``scale_g`` (out,)
+- ``relative_position_index`` / ``attn_mask`` buffers are dropped (static
+  constants here).
+
+This module is pure numpy + a minimal .pth reader; torch is only needed to
+unpickle ``torch.save`` files (torch CPU is available in the image).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Mapping
+
+import numpy as np
+
+
+def _to_numpy(t) -> np.ndarray:
+    if isinstance(t, np.ndarray):
+        return t
+    return t.detach().cpu().numpy()
+
+
+def load_torch_checkpoint(path: str, key: str = "teacher") -> dict[str, np.ndarray]:
+    """Load a reference .pth and return a flat ``{torch_name: ndarray}`` for
+    the requested model key ('teacher' for evals, like utils.py:78-103)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt[key] if key in ckpt else ckpt
+    return {k.removeprefix("module."): _to_numpy(v) for k, v in sd.items()}
+
+
+def _set(tree: dict, path: tuple[str, ...], value: np.ndarray):
+    node = tree
+    for k in path[:-1]:
+        node = node.setdefault(k, {})
+    node[path[-1]] = value
+
+
+def _linear(prefix_flax: tuple[str, ...], name: str, v: np.ndarray, out: dict):
+    if name == "weight":
+        _set(out, prefix_flax + ("kernel",), v.T)
+    else:
+        _set(out, prefix_flax + ("bias",), v)
+
+
+def _layernorm(prefix_flax: tuple[str, ...], name: str, v: np.ndarray, out: dict):
+    flax_name = "scale" if name == "weight" else "bias"
+    _set(out, prefix_flax + ("ln", flax_name), v)
+
+
+def _conv(prefix_flax: tuple[str, ...], name: str, v: np.ndarray, out: dict):
+    if name == "weight":
+        _set(out, prefix_flax + ("kernel",), v.transpose(2, 3, 1, 0))
+    else:
+        _set(out, prefix_flax + ("bias",), v)
+
+
+def _import_dino_head(torch_sd: Mapping[str, np.ndarray], prefix: str) -> dict:
+    """head.mlp.{0,2,4}.* -> mlp_{0,1,2}; last_layer weight_norm params.
+    (torch Sequential indices skip the GELUs; with BN they'd differ — BN
+    heads are handled by the bn index pattern too.)"""
+    out: dict = {}
+    lin_idx: dict[int, int] = {}
+    # Collect Linear layer indices in Sequential order.
+    seq = sorted({int(m.group(1)) for k in torch_sd
+                  if (m := re.match(rf"{prefix}\.mlp\.(\d+)\.weight$", k))})
+    for i, s in enumerate(seq):
+        lin_idx[s] = i
+    for k, v in torch_sd.items():
+        if not k.startswith(prefix + "."):
+            continue
+        sub = k[len(prefix) + 1:]
+        if m := re.match(r"mlp\.(\d+)\.(weight|bias)$", sub):
+            _linear((f"mlp_{lin_idx[int(m.group(1))]}",), m.group(2), v, out)
+        elif sub == "mlp.weight":       # nlayers == 1: plain Linear
+            _set(out, ("mlp_0", "kernel"), v.T)
+        elif sub == "mlp.bias":
+            _set(out, ("mlp_0", "bias"), v)
+        elif sub == "last_layer.weight_v":
+            _set(out, ("last_layer", "kernel_v"), v.T)
+        elif sub == "last_layer.weight_g":
+            _set(out, ("last_layer", "scale_g"), v.reshape(-1))
+    return out
+
+
+def import_swin_backbone(torch_sd: Mapping[str, np.ndarray]) -> dict:
+    """Map reference Swin state_dict (models/swin_transformer.py naming) to
+    our SwinTransformer param tree."""
+    out: dict = {}
+    for k, v in torch_sd.items():
+        if k.startswith(("head.", "head_dense.")):
+            continue
+        if "relative_position_index" in k or "attn_mask" in k:
+            continue
+        parts = k.split(".")
+        if k == "absolute_pos_embed":
+            _set(out, ("absolute_pos_embed",), v)
+        elif parts[0] == "patch_embed":
+            if parts[1] == "proj":
+                _conv(("patch_embed", "proj"), parts[2], v, out)
+            else:  # norm
+                _layernorm(("patch_embed", "norm"), parts[2], v, out)
+        elif parts[0] == "layers":
+            i = parts[1]
+            if parts[2] == "blocks":
+                j = parts[3]
+                base = (f"layers_{i}", f"blocks_{j}")
+                mod, rest = parts[4], parts[5:]
+                if mod in ("norm1", "norm2"):
+                    _layernorm(base + (mod,), rest[0], v, out)
+                elif mod == "attn":
+                    if rest[0] == "relative_position_bias_table":
+                        _set(out, base + ("attn", "relative_position_bias_table"), v)
+                    else:  # qkv / proj linears
+                        _linear(base + ("attn", rest[0]), rest[1], v, out)
+                elif mod == "mlp":
+                    _linear(base + ("mlp", rest[0]), rest[1], v, out)
+            elif parts[2] == "downsample":
+                base = (f"layers_{i}", "downsample")
+                if parts[3] == "norm":
+                    _layernorm(base + ("norm",), parts[4], v, out)
+                else:  # reduction (bias-free Linear)
+                    _linear(base + ("reduction",), parts[4], v, out)
+        elif parts[0] == "norm":
+            _layernorm(("norm_final",), parts[1], v, out)
+    return out
+
+
+def import_vit_backbone(torch_sd: Mapping[str, np.ndarray]) -> dict:
+    """Map reference ViT state_dict (models/vision_transformer.py naming)."""
+    out: dict = {}
+    for k, v in torch_sd.items():
+        if k.startswith(("head.", "head_dense.")):
+            continue
+        parts = k.split(".")
+        if k == "cls_token":
+            _set(out, ("cls_token",), v)
+        elif k == "pos_embed":
+            _set(out, ("pos_embed",), v)
+        elif parts[0] == "patch_embed" and parts[1] == "proj":
+            _conv(("patch_embed",), parts[2], v, out)
+        elif parts[0] == "blocks":
+            i = parts[1]
+            base = (f"blocks_{i}",)
+            mod, rest = parts[2], parts[3:]
+            if mod in ("norm1", "norm2"):
+                _layernorm(base + (mod,), rest[0], v, out)
+            elif mod == "attn":
+                _linear(base + ("attn", rest[0]), rest[1], v, out)
+            elif mod == "mlp":
+                _linear(base + ("mlp", rest[0]), rest[1], v, out)
+        elif parts[0] == "norm":
+            _layernorm(("norm_final",), parts[1], v, out)
+    return out
+
+
+_BACKBONE_IMPORTERS = {
+    "swin": import_swin_backbone,
+    "vit": import_vit_backbone,
+}
+
+
+def import_esvit_model(torch_sd: Mapping[str, np.ndarray], arch: str,
+                       use_dense_prediction: bool = True) -> dict:
+    """Full EsViTModel param tree {'backbone', 'head'[, 'head_dense']}."""
+    if arch not in _BACKBONE_IMPORTERS:
+        raise ValueError(f"no importer for arch {arch!r}")
+    params = {"backbone": _BACKBONE_IMPORTERS[arch](torch_sd)}
+    if any(k.startswith("head.") for k in torch_sd):
+        params["head"] = _import_dino_head(torch_sd, "head")
+    if use_dense_prediction and any(k.startswith("head_dense.") for k in torch_sd):
+        params["head_dense"] = _import_dino_head(torch_sd, "head_dense")
+    return params
+
+
+def verify_tree_matches(imported: Any, reference: Any, path: str = "") -> list[str]:
+    """Structural diff of two nested dicts of arrays: missing/extra/shape
+    mismatches, as human-readable strings (empty == perfect match)."""
+    problems = []
+    ikeys = set(imported) if isinstance(imported, dict) else None
+    rkeys = set(reference) if isinstance(reference, dict) else None
+    if ikeys is None or rkeys is None:
+        ish = getattr(imported, "shape", None)
+        rsh = getattr(reference, "shape", None)
+        if ish != rsh:
+            problems.append(f"{path}: shape {ish} != expected {rsh}")
+        return problems
+    for k in sorted(rkeys - ikeys):
+        problems.append(f"{path}/{k}: missing from import")
+    for k in sorted(ikeys - rkeys):
+        problems.append(f"{path}/{k}: unexpected in import")
+    for k in sorted(ikeys & rkeys):
+        problems += verify_tree_matches(imported[k], reference[k], f"{path}/{k}")
+    return problems
