@@ -1,0 +1,238 @@
+"""Dataset readers: ImageFolder, ZipData, TSV (+ .lineidx), OpenImages TSV.
+
+Same storage formats as the reference (datasets/zipdata.py, tsv_file.py,
+tsv.py, tsv_openimage.py), reimplemented: each reader is a simple
+``__len__``/``__getitem__`` returning ``(PIL.Image, label)`` — directly
+usable under grain or our threaded loader. Worker safety follows the
+reference's per-pid-handle trick (zipdata.py:71-76, tsv_file.py:153-164):
+file handles are (re)opened per process/thread.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import os
+import threading
+import zipfile
+from typing import Any, Sequence
+
+from PIL import Image
+
+IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+
+
+class ImageFolder:
+    """Standard class-per-directory layout (torchvision semantics: classes
+    sorted alphabetically -> contiguous ids)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        classes = sorted(d.name for d in os.scandir(root) if d.is_dir())
+        self.class_to_idx = {c: i for i, c in enumerate(classes)}
+        self.samples: list[tuple[str, int]] = []
+        for c in classes:
+            cdir = os.path.join(root, c)
+            for dirpath, _, files in sorted(os.walk(cdir)):
+                for f in sorted(files):
+                    if f.lower().endswith(IMG_EXTENSIONS):
+                        self.samples.append(
+                            (os.path.join(dirpath, f), self.class_to_idx[c]))
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, i: int):
+        path, label = self.samples[i]
+        with Image.open(path) as img:
+            return img.convert("RGB"), label
+
+
+class ZipData:
+    """ImageNet-in-a-zip with a ``map_file`` of ``<member>\\t<class>`` lines
+    (ref: datasets/zipdata.py:10-93). Thread/process-safe via per-thread
+    ZipFile handles."""
+
+    def __init__(self, zip_path: str, map_file: str):
+        self.zip_path = zip_path
+        self.samples: list[tuple[str, int]] = []
+        with open(map_file) as f:
+            for line in f:
+                parts = line.strip().split("\t")
+                if len(parts) == 2:
+                    self.samples.append((parts[0], int(parts[1])))
+        self._local = threading.local()
+
+    def _zf(self) -> zipfile.ZipFile:
+        key = os.getpid()
+        if getattr(self._local, "pid", None) != key or self._local.zf is None:
+            self._local.zf = zipfile.ZipFile(self.zip_path, "r")
+            self._local.pid = key
+        return self._local.zf
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, i: int):
+        member, label = self.samples[i]
+        data = self._zf().read(member)
+        return Image.open(io.BytesIO(data)).convert("RGB"), label
+
+
+def generate_lineidx(tsv_path: str, lineidx_path: str) -> None:
+    """Byte offsets of each row (ref: datasets/tsv_file.py:9-18)."""
+    offsets = []
+    with open(tsv_path, "rb") as f:
+        pos = 0
+        for line in f:
+            offsets.append(pos)
+            pos += len(line)
+    with open(lineidx_path, "w") as f:
+        f.writelines(f"{o}\n" for o in offsets)
+
+
+class TSVFile:
+    """Random-access TSV via a .lineidx sidecar (ref: tsv_file.py:20-164)."""
+
+    def __init__(self, tsv_path: str):
+        self.tsv_path = tsv_path
+        self.lineidx_path = os.path.splitext(tsv_path)[0] + ".lineidx"
+        if not os.path.isfile(self.lineidx_path):
+            generate_lineidx(tsv_path, self.lineidx_path)
+        with open(self.lineidx_path) as f:
+            self.offsets = [int(l) for l in f if l.strip()]
+        self._local = threading.local()
+
+    def _fp(self):
+        key = os.getpid()
+        if getattr(self._local, "pid", None) != key:
+            self._local.fp = open(self.tsv_path, "rb")
+            self._local.pid = key
+        return self._local.fp
+
+    def __len__(self):
+        return len(self.offsets)
+
+    def seek(self, i: int) -> list[str]:
+        fp = self._fp()
+        fp.seek(self.offsets[i])
+        return fp.readline().decode("utf-8").rstrip("\n").split("\t")
+
+
+def _decode_b64_image(b64: str) -> Image.Image:
+    return Image.open(io.BytesIO(base64.b64decode(b64))).convert("RGB")
+
+
+def _label_from_json(cell: str) -> int:
+    """Rows carry either a bare int or a JSON list of dicts with 'class'
+    (ref: datasets/tsv.py:60-92)."""
+    try:
+        return int(cell)
+    except ValueError:
+        pass
+    obj = json.loads(cell)
+    if isinstance(obj, list) and obj and isinstance(obj[0], dict):
+        v = obj[0].get("class", -1)
+        try:
+            return int(v)
+        except (TypeError, ValueError):
+            return -1
+    return -1
+
+
+class TSVDataset:
+    """(key, label-json, base64-jpeg) rows (ref: datasets/tsv.py:20-113)."""
+
+    def __init__(self, tsv_path: str):
+        self.tsv = TSVFile(tsv_path)
+
+    def __len__(self):
+        return len(self.tsv)
+
+    def __getitem__(self, i: int):
+        row = self.tsv.seek(i)
+        return _decode_b64_image(row[-1]), _label_from_json(row[1])
+
+
+class CompositeTSVDataset:
+    """Many TSV shards behaving as one dataset, with chunk bookkeeping for
+    the chunk-aware sampler (ref: tsv_file.py:167-257 CompositeTSVFile)."""
+
+    def __init__(self, tsv_paths: Sequence[str]):
+        self.shards = [TSVFile(p) for p in tsv_paths]
+        self.chunk_sizes = [len(s) for s in self.shards]
+        self.cum = [0]
+        for n in self.chunk_sizes:
+            self.cum.append(self.cum[-1] + n)
+
+    def __len__(self):
+        return self.cum[-1]
+
+    def shard_of(self, i: int) -> tuple[int, int]:
+        import bisect
+
+        s = bisect.bisect_right(self.cum, i) - 1
+        return s, i - self.cum[s]
+
+    def __getitem__(self, i: int):
+        s, j = self.shard_of(i)
+        row = self.shards[s].seek(j)
+        return _decode_b64_image(row[-1]), _label_from_json(row[1])
+
+
+class TSVOpenImageDataset:
+    """Multi-label OpenImages TSV: a separate label TSV maps image keys to
+    class-id lists (ref: datasets/tsv_openimage.py:25-130). For SSL
+    pre-training the label collapses to the first class id."""
+
+    def __init__(self, image_tsv: str, label_tsv: str):
+        self.images = TSVFile(image_tsv)
+        self.labels = TSVFile(label_tsv)
+
+    def __len__(self):
+        return len(self.images)
+
+    def __getitem__(self, i: int):
+        img_row = self.images.seek(i)
+        lab_row = self.labels.seek(i)
+        try:
+            labels = json.loads(lab_row[1])
+            label = int(labels[0]["class"]) if labels else -1
+        except (ValueError, KeyError, IndexError, TypeError):
+            label = -1
+        return _decode_b64_image(img_row[-1]), label
+
+
+class SyntheticImages:
+    """Deterministic random images for tests/benches (no disk)."""
+
+    def __init__(self, n: int = 256, size: int = 256, num_classes: int = 10,
+                 seed: int = 0):
+        self.n, self.size, self.num_classes, self.seed = n, size, num_classes, seed
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i: int):
+        import numpy as np
+
+        rng = np.random.default_rng(self.seed * 100003 + i)
+        arr = rng.integers(0, 256, (self.size, self.size, 3), dtype=np.uint8)
+        return Image.fromarray(arr), i % self.num_classes
+
+
+def build_dataset(kind: str, **kw):
+    """Factory mirroring the reference's backend dispatch
+    (datasets/build.py:32-61)."""
+    kinds = {
+        "folder": ImageFolder,
+        "zip": ZipData,
+        "tsv": TSVDataset,
+        "composite_tsv": CompositeTSVDataset,
+        "openimages_tsv": TSVOpenImageDataset,
+        "synthetic": SyntheticImages,
+    }
+    if kind not in kinds:
+        raise ValueError(f"unknown dataset kind {kind!r}; have {sorted(kinds)}")
+    return kinds[kind](**kw)

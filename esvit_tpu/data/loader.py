@@ -1,0 +1,153 @@
+"""Multi-crop training data iterator.
+
+Host side: decode + RandomResizedCrop per view (PIL, cheap). Photometric
+augmentation runs either on host (full reference-parity PIL pipeline,
+augment_host.py) or on device (fused jitted batch pipeline,
+augment_device.py — the TPU-first default). Batches are the static
+two-resolution pytree the jitted train step consumes:
+``(global (2B, Sg, Sg, 3), local (L*B, Sl, Sl, 3))`` view-major.
+
+Prefetch: a small thread pool decodes ahead into a bounded queue — the
+equivalent of the reference's DataLoader worker processes
+(datasets/build.py:72-79) for a one-process-per-host JAX setup.
+"""
+
+from __future__ import annotations
+
+import queue
+import random
+import threading
+from typing import Any, Iterator, Optional
+
+import jax
+import numpy as np
+
+from esvit_tpu.config import CropConfig
+from esvit_tpu.data import augment_device, augment_host
+from esvit_tpu.data.sampler import sharded_indices
+
+
+def _crop_views_host_rrc(img, crops: CropConfig, rng: random.Random):
+    """RandomResizedCrop only (uint8 HWC per view); photometrics on device."""
+    g1 = augment_host.random_resized_crop(img, crops.global_size,
+                                          crops.global_scale, rng)
+    g2 = augment_host.random_resized_crop(img, crops.global_size,
+                                          crops.global_scale, rng)
+    locs = [augment_host.random_resized_crop(img, crops.local_size,
+                                             crops.local_scale, rng)
+            for _ in range(crops.local_crops_number)]
+    to = lambda im: np.asarray(im, np.uint8)
+    return [to(g1), to(g2)] + [to(l) for l in locs]
+
+
+class MultiCropIterator:
+    """One epoch of multi-crop batches from a map-style dataset."""
+
+    def __init__(self, dataset, crops: CropConfig, batch_size: int, *,
+                 epoch: int = 0, seed: int = 0, host_aug: bool = False,
+                 out_dtype=np.float32, num_threads: int = 4,
+                 prefetch: int = 4, process_index: int = 0,
+                 process_count: int = 1, device_rng: Optional[jax.Array] = None):
+        self.dataset = dataset
+        self.crops = crops
+        self.B = batch_size
+        self.host_aug = host_aug
+        self.out_dtype = out_dtype
+        self.epoch = epoch
+        self.seed = seed
+        self.device_rng = (device_rng if device_rng is not None
+                           else jax.random.PRNGKey((seed << 16) + epoch))
+        if host_aug:
+            self.aug = augment_host.DataAugmentationDINO(
+                global_size=crops.global_size, global_scale=crops.global_scale,
+                local_size=crops.local_size, local_scale=crops.local_scale,
+                local_crops_number=crops.local_crops_number)
+        self.indices = sharded_indices(
+            len(dataset), epoch=epoch, seed=seed,
+            process_index=process_index, process_count=process_count)
+        self.num_threads = num_threads
+        self.prefetch = prefetch
+
+    def __len__(self):
+        return len(self.indices) // self.B
+
+    def _sample_views(self, idx: int, sample_seed: int):
+        rng = random.Random(sample_seed)
+        img, _ = self.dataset[int(idx)]
+        if img.mode != "RGB":
+            img = img.convert("RGB")
+        if self.host_aug:
+            return self.aug(img, rng)                    # float32 normalized
+        return _crop_views_host_rrc(img, self.crops, rng)  # uint8
+
+    def _assemble(self, views_per_sample: list[list[np.ndarray]]):
+        """B lists of [g1, g2, l1..lL] -> view-major batches."""
+        L = self.crops.local_crops_number
+        g = np.stack([v[0] for v in views_per_sample]
+                     + [v[1] for v in views_per_sample])          # (2B, ...)
+        loc = np.stack([v[2 + j] for j in range(L)
+                        for v in views_per_sample])               # (L*B, ...)
+        return g, loc
+
+    def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        B = self.B
+        nb = len(self)
+        work_q: "queue.Queue[int]" = queue.Queue()
+        done: dict[int, Any] = {}
+        done_lock = threading.Condition()
+
+        for b in range(nb):
+            work_q.put(b)
+
+        def worker():
+            while True:
+                try:
+                    b = work_q.get_nowait()
+                except queue.Empty:
+                    return
+                batch_idx = self.indices[b * B:(b + 1) * B]
+                views = [self._sample_views(
+                    i, (self.seed, self.epoch, int(i)).__hash__() & 0x7FFFFFFF)
+                    for i in batch_idx]
+                out = self._assemble(views)
+                with done_lock:
+                    done[b] = out
+                    done_lock.notify_all()
+
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(self.num_threads)]
+        for t in threads:
+            t.start()
+
+        rng = self.device_rng
+        for b in range(nb):
+            with done_lock:
+                while b not in done:
+                    done_lock.wait()
+                g, loc = done.pop(b)
+            if self.host_aug:
+                yield (g.astype(self.out_dtype), loc.astype(self.out_dtype))
+            else:
+                rng, sub = jax.random.split(rng)
+                yield augment_device.augment_multicrop(
+                    sub, jax.numpy.asarray(g), jax.numpy.asarray(loc),
+                    out_dtype=self.out_dtype)
+
+
+def build_train_iterator(dataset, crops: CropConfig, batch_size: int, **kw
+                         ) -> MultiCropIterator:
+    return MultiCropIterator(dataset, crops, batch_size, **kw)
+
+
+def synthetic_batches(crops: CropConfig, batch_size: int, *, steps: int,
+                      seed: int = 0, dtype=np.float32):
+    """Pure-device random batches for benches and smoke runs."""
+    rng = jax.random.PRNGKey(seed)
+    B = batch_size
+    for _ in range(steps):
+        rng, k1, k2 = jax.random.split(rng, 3)
+        g = jax.random.normal(k1, (2 * B, crops.global_size,
+                                   crops.global_size, 3), dtype)
+        l = jax.random.normal(k2, (crops.local_crops_number * B,
+                                   crops.local_size, crops.local_size, 3), dtype)
+        yield g, l

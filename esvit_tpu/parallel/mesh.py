@@ -62,3 +62,19 @@ def param_sharding(mesh: Mesh, params: Any) -> Any:
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(leaf_sharding, params)
+
+
+def shard_train_state(state, mesh: Mesh):
+    """Place a full TrainState on the mesh: student/teacher per
+    param_sharding (head TP when enabled), everything else replicated.
+    Ensures a uniform device set so jit never sees mixed commitments
+    (e.g. after an orbax restore)."""
+    p_shard = param_sharding(mesh, state.student)
+    rep = replicated(mesh)
+    return state._replace(
+        step=jax.device_put(state.step, rep),
+        student=jax.device_put(state.student, p_shard),
+        teacher=jax.device_put(state.teacher, p_shard),
+        opt_state=jax.device_put(state.opt_state, rep),
+        centers=jax.device_put(state.centers, rep),
+    )
