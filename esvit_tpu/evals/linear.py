@@ -1,0 +1,180 @@
+"""Linear probe on frozen features (ref: eval_linear.py).
+
+Protocol (eval_linear.py:43-320): frozen backbone; features are the concat
+of avg-pooled outputs of the ``n_last_blocks`` (default 4) last blocks via
+``forward_return_n_last_blocks``; a single linear classifier trained with
+SGD momentum 0.9, zero weight decay, lr scaled by batch/256 and
+cosine-annealed; top-1/top-5 on center-crop val.
+
+TPU-native: the backbone forward and the probe update are two jitted
+functions; features can optionally be precomputed once and the probe then
+trains from cached features (far faster than the reference's per-epoch
+frozen forward, and numerically identical because the backbone is frozen
+and eval-mode deterministic).
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from esvit_tpu import config as config_lib
+from esvit_tpu.data import datasets as datasets_lib
+from esvit_tpu.evals.knn import eval_transform, load_backbone_variables
+from esvit_tpu.models.registry import build_backbone
+from esvit_tpu.utils import schedules
+
+
+def feature_dim_for(model_cfg, n_last_blocks: int) -> int:
+    """Probe input dim = sum of per-block dims of the n last blocks
+    (ref: eval_linear.py:102-176 computes this per arch)."""
+    if model_cfg.name == "swin":
+        dims = []
+        for i, d in enumerate(model_cfg.depths):
+            dims += [int(model_cfg.embed_dim * 2 ** i)] * d
+        return sum(dims[-n_last_blocks:])
+    if model_cfg.name == "vit":
+        return model_cfg.embed_dim * n_last_blocks
+    raise ValueError(f"unknown arch {model_cfg.name}")
+
+
+def extract_probe_features(backbone, variables, dataset, *, n_last_blocks=4,
+                           batch_size=64, size=224):
+    fwd = jax.jit(lambda v, x: backbone.apply(
+        v, x, n_last_blocks, method=backbone.forward_return_n_last_blocks))
+    feats, labels = [], []
+    buf, lab = [], []
+
+    def flush():
+        if not buf:
+            return
+        n = len(buf)
+        x = np.stack(buf)
+        if n < batch_size:
+            x = np.concatenate(
+                [x, np.zeros((batch_size - n,) + x.shape[1:], x.dtype)])
+        f = np.asarray(fwd(variables, jnp.asarray(x)), np.float32)[:n]
+        feats.append(f)
+        labels.extend(lab)
+        buf.clear()
+        lab.clear()
+
+    for i in range(len(dataset)):
+        img, label = dataset[i]
+        buf.append(eval_transform(img, size))
+        lab.append(label)
+        if len(buf) == batch_size:
+            flush()
+    flush()
+    return np.concatenate(feats), np.asarray(labels, np.int32)
+
+
+def train_linear_probe(train_f, train_l, test_f, test_l, *, num_classes=None,
+                       epochs=100, batch_size=256, lr=0.001, seed=0):
+    """SGD momentum 0.9, wd 0, cosine LR scaled by batch/256
+    (eval_linear.py:189-195); classifier init: trunc-normal(0.01) weights,
+    zero bias (eval_linear.py:307-320)."""
+    num_classes = num_classes or int(train_l.max()) + 1
+    dim = train_f.shape[1]
+    rng = np.random.default_rng(seed)
+    scaled_lr = lr * batch_size / 256.0
+    n = len(train_f)
+    steps_per_epoch = max(n // batch_size, 1)
+    total_steps = epochs * steps_per_epoch
+
+    params = {
+        "w": jnp.asarray(np.clip(rng.normal(0, 0.01, (dim, num_classes)),
+                                 -0.02, 0.02), jnp.float32),
+        "b": jnp.zeros((num_classes,), jnp.float32),
+    }
+    opt = optax.sgd(lambda s: schedules.cosine_schedule(
+        s, base_value=scaled_lr, final_value=0.0, total_steps=total_steps),
+        momentum=0.9)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, x, y):
+        def loss_fn(p):
+            logits = x @ p["w"] + p["b"]
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, y).mean()
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(g, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    tf = jnp.asarray(train_f)
+    tl = jnp.asarray(train_l)
+    for epoch in range(epochs):
+        perm = rng.permutation(n)[: steps_per_epoch * batch_size]
+        for s in range(steps_per_epoch):
+            idx = jnp.asarray(perm[s * batch_size:(s + 1) * batch_size])
+            params, opt_state, loss = step(params, opt_state, tf[idx], tl[idx])
+
+    logits = np.asarray(jnp.asarray(test_f) @ params["w"] + params["b"])
+    pred = np.argsort(-logits, axis=1)
+    gt = test_l[:, None]
+    top1 = 100.0 * (pred[:, :1] == gt).sum() / len(test_l)
+    top5 = 100.0 * (pred[:, :min(5, num_classes)] == gt).any(1).sum() / len(test_l)
+    return params, float(top1), float(top5)
+
+
+def run_linear_eval(backbone, variables, train_ds, val_ds, *, n_last_blocks=4,
+                    epochs=100, batch_size=256, lr=0.001, feat_batch=64,
+                    size=224, num_classes=None):
+    train_f, train_l = extract_probe_features(
+        backbone, variables, train_ds, n_last_blocks=n_last_blocks,
+        batch_size=feat_batch, size=size)
+    test_f, test_l = extract_probe_features(
+        backbone, variables, val_ds, n_last_blocks=n_last_blocks,
+        batch_size=feat_batch, size=size)
+    _, top1, top5 = train_linear_probe(
+        train_f, train_l, test_f, test_l, epochs=epochs,
+        batch_size=batch_size, lr=lr, num_classes=num_classes)
+    print(f"Linear probe: Top1 {top1:.2f}, Top5 {top5:.2f}", flush=True)
+    return top1, top5
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("esvit_tpu linear eval")
+    p.add_argument("--arch", default="swin_tiny", choices=sorted(config_lib.PRESETS))
+    p.add_argument("--window_size", default=7, type=int)
+    p.add_argument("--pretrained", default="")
+    p.add_argument("--checkpoint_key", default="teacher")
+    p.add_argument("--n_last_blocks", default=4, type=int)
+    p.add_argument("--epochs", default=100, type=int)
+    p.add_argument("--lr", default=0.001, type=float)
+    p.add_argument("--batch_size", default=256, type=int)
+    p.add_argument("--data_kind", default="folder")
+    p.add_argument("--train_path", default="")
+    p.add_argument("--val_path", default="")
+    p.add_argument("--output_dir", default="./output")
+    args = p.parse_args(argv)
+
+    model_cfg = config_lib.get_model_config(
+        args.arch, **({"window_size": args.window_size}
+                      if args.arch.startswith("swin") else {}))
+    backbone = build_backbone(model_cfg)
+    variables = load_backbone_variables(backbone, model_cfg, args.pretrained,
+                                        args.checkpoint_key)
+    train_ds = datasets_lib.build_dataset(args.data_kind, root=args.train_path)
+    val_ds = datasets_lib.build_dataset(args.data_kind, root=args.val_path)
+    top1, top5 = run_linear_eval(
+        backbone, variables, train_ds, val_ds,
+        n_last_blocks=args.n_last_blocks, epochs=args.epochs,
+        batch_size=args.batch_size, lr=args.lr)
+    os.makedirs(args.output_dir, exist_ok=True)
+    with open(os.path.join(args.output_dir, "log.txt"), "a") as f:
+        f.write(json.dumps({"linear_top1": top1, "linear_top5": top5}) + "\n")
+
+
+if __name__ == "__main__":
+    main()

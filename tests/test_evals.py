@@ -1,0 +1,93 @@
+"""k-NN and linear-probe evaluation protocols."""
+
+import numpy as np
+import pytest
+
+from esvit_tpu import config
+from esvit_tpu.data import datasets
+from esvit_tpu.evals import knn as knn_lib
+from esvit_tpu.evals import linear as linear_lib
+
+
+def clustered_split(np_rng, n_train=30, n_test=10, classes=4, dim=16,
+                    spread=0.04):
+    """Train/test draws around SHARED class centers, L2-normalized.
+    (noise norm ~ spread*sqrt(dim) stays well below the ~sqrt(2) center
+    separation -> k-NN should be ~perfect.)"""
+    centers = np_rng.normal(size=(classes, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+
+    def draw(n_per):
+        f, l = [], []
+        for c in range(classes):
+            pts = centers[c] + spread * np_rng.normal(size=(n_per, dim))
+            f.append(pts)
+            l += [c] * n_per
+        f = np.concatenate(f).astype(np.float32)
+        f /= np.linalg.norm(f, axis=1, keepdims=True)
+        return f, np.asarray(l, np.int32)
+
+    return draw(n_train), draw(n_test)
+
+
+def test_knn_classifier_separable(np_rng):
+    (train_f, train_l), (test_f, test_l) = clustered_split(np_rng)
+    top1, top5 = knn_lib.knn_classifier(train_f, train_l, test_f, test_l,
+                                        k=10, chunk=32)
+    assert top1 > 95.0
+    assert top5 == 100.0
+
+
+def test_knn_weighted_vote_beats_ties(np_rng):
+    """With k > class size, temperature weighting must still favor the
+    nearest cluster."""
+    (train_f, train_l), (test_f, test_l) = clustered_split(
+        np_rng, n_train=10, n_test=5, classes=3)
+    top1, _ = knn_lib.knn_classifier(train_f, train_l, test_f, test_l,
+                                     k=25, chunk=16)
+    assert top1 > 85.0
+
+
+def test_linear_probe_separable(np_rng):
+    (train_f, train_l), (test_f, test_l) = clustered_split(
+        np_rng, n_train=50, n_test=20)
+    _, top1, top5 = linear_lib.train_linear_probe(
+        train_f, train_l, test_f, test_l, epochs=20, batch_size=32, lr=0.1)
+    assert top1 > 90.0
+
+
+def test_feature_dim_for():
+    swin_t = config.swin_tiny()
+    # last 4 blocks of Swin-T: 2 from stage 3 (dim 384)? no — depths
+    # (2,2,6,2): last 4 = 2x768 + 2x384
+    assert linear_lib.feature_dim_for(swin_t, 4) == 2 * 768 + 2 * 384
+    assert linear_lib.feature_dim_for(config.deit_small(), 4) == 4 * 384
+
+
+def test_eval_transform_shape(np_rng):
+    from PIL import Image
+
+    img = Image.fromarray(np_rng.integers(0, 256, (100, 150, 3), dtype=np.uint8))
+    x = knn_lib.eval_transform(img, size=64)
+    assert x.shape == (64, 64, 3)
+    assert x.dtype == np.float32
+
+
+def test_knn_end_to_end_tiny_backbone(rng, np_rng):
+    """Full pipeline with a femto Swin on synthetic images: runs, returns
+    finite accuracies (random features -> near-chance, but the protocol
+    must execute end to end)."""
+    from esvit_tpu.models.registry import build_backbone
+    import jax, jax.numpy as jnp
+
+    cfg = config.swin_femto()
+    backbone = build_backbone(cfg)
+    x0 = jnp.zeros((1, 32, 32, 3))
+    variables = backbone.init({"params": rng}, x0, deterministic=True)
+    train_ds = datasets.SyntheticImages(n=24, size=48, num_classes=3)
+    val_ds = datasets.SyntheticImages(n=8, size=48, num_classes=3, seed=1)
+    res = knn_lib.run_knn_eval(backbone, variables, train_ds, val_ds,
+                               ks=(5,), batch_size=8, size=32)
+    assert 5 in res
+    t1, t5 = res[5]
+    assert 0.0 <= t1 <= 100.0 and 0.0 <= t5 <= 100.0
