@@ -80,7 +80,9 @@ class ViTConfig:
 
 @dataclass(frozen=True)
 class CvTStageConfig:
-    """One CvT stage (ref: models/cvt_v4_transformer.py:434-563 SPEC arrays)."""
+    """One CvT-v4 stage (ref: models/cvt_v4_transformer.py:457-507 SPEC
+    arrays: PATCH_SIZE/STRIDE/PADDING, DIM_EMBED, DEPTH, NUM_HEADS,
+    MLP_RATIO, QKV_BIAS, KERNEL_QKV, PADDING_QKV, WINDOW_SIZE, SHIFT)."""
 
     patch_size: int = 7
     patch_stride: int = 4
@@ -90,17 +92,11 @@ class CvTStageConfig:
     num_heads: int = 1
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
-    drop_rate: float = 0.0
-    attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
     kernel_qkv: int = 3
-    padding_q: int = 1
-    padding_kv: int = 1
-    stride_q: int = 1
-    stride_kv: int = 2
-    cls_token: bool = False
-    window_size: int = 0  # 0 = full attention over the stage grid
-    shift_size: int = 0
+    padding_qkv: int = 1
+    window_size: int = 7
+    shift: bool = False
 
 
 @dataclass(frozen=True)
@@ -289,14 +285,25 @@ def vit_base(**kw) -> ViTConfig:
 
 
 def cvt_tiny(**kw) -> CvTConfig:
-    """experiments/imagenet/cvt_v4/s1.yaml (CvT-T: 3 stages, dims 64/192/384)."""
+    """experiments/imagenet/cvt_v4/s1.yaml: 4 stages, dims 64/192/384/768,
+    heads 1/3/6/12, depths 2/2/6/2, window 7, no shift, no rel-pos."""
+    dims = (64, 192, 384, 768)
+    heads = (1, 3, 6, 12)
+    depths = (2, 2, 6, 2)
+    patches = ((7, 4, 2), (3, 2, 1), (3, 2, 1), (3, 2, 1))
+    return CvTConfig(stages=tuple(
+        CvTStageConfig(patch_size=p, patch_stride=s, patch_padding=pd,
+                       embed_dim=d, depth=n, num_heads=h, drop_path_rate=0.1)
+        for (p, s, pd), d, h, n in zip(patches, dims, heads, depths)), **kw)
+
+
+def cvt_femto(**kw) -> CvTConfig:
+    """Tiny CPU-testable CvT: 2 stages."""
     return CvTConfig(stages=(
-        CvTStageConfig(patch_size=7, patch_stride=4, patch_padding=2, embed_dim=64,
-                       depth=1, num_heads=1, drop_path_rate=0.1),
-        CvTStageConfig(patch_size=3, patch_stride=2, patch_padding=1, embed_dim=192,
-                       depth=2, num_heads=3, drop_path_rate=0.1),
-        CvTStageConfig(patch_size=3, patch_stride=2, patch_padding=1, embed_dim=384,
-                       depth=10, num_heads=6, drop_path_rate=0.1),
+        CvTStageConfig(patch_size=3, patch_stride=2, patch_padding=1,
+                       embed_dim=16, depth=1, num_heads=2, window_size=4),
+        CvTStageConfig(patch_size=3, patch_stride=2, patch_padding=1,
+                       embed_dim=32, depth=1, num_heads=2, window_size=4),
     ), **kw)
 
 
@@ -323,6 +330,7 @@ def swin_femto(**kw) -> SwinConfig:
 
 PRESETS = {
     "swin_femto": swin_femto,
+    "cvt_femto": cvt_femto,
     "swin_tiny": swin_tiny,
     "swin_small": swin_small,
     "swin_base": swin_base,

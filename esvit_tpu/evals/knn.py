@@ -197,7 +197,7 @@ def load_backbone_variables(backbone, model_cfg, pretrained: str,
         sd = torch_import.load_torch_checkpoint(pretrained, checkpoint_key)
         arch = getattr(model_cfg, "name", "swin")
         imported = torch_import._BACKBONE_IMPORTERS[arch](sd)
-        return {"params": jax.tree.map(jnp.asarray, imported)}
+        return jax.tree.map(jnp.asarray, imported)
     # orbax: restore the TrainState and take the teacher backbone subtree
     import orbax.checkpoint as ocp
 

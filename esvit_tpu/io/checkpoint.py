@@ -32,6 +32,8 @@ def _to_pytree(state: TrainState) -> dict:
         "opt_state": state.opt_state,
         "centers": {"center": state.centers.center,
                     "center_grid": state.centers.center_grid},
+        "student_state": state.student_state,
+        "teacher_state": state.teacher_state,
     }
 
 
@@ -43,6 +45,8 @@ def _from_pytree(tree: dict, like: TrainState) -> TrainState:
         opt_state=tree["opt_state"],
         centers=DinoCenters(center=tree["centers"]["center"],
                             center_grid=tree["centers"]["center_grid"]),
+        student_state=tree.get("student_state", {}),
+        teacher_state=tree.get("teacher_state", {}),
     )
 
 

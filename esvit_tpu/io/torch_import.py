@@ -99,7 +99,7 @@ def _import_dino_head(torch_sd: Mapping[str, np.ndarray], prefix: str) -> dict:
 
 def import_swin_backbone(torch_sd: Mapping[str, np.ndarray]) -> dict:
     """Map reference Swin state_dict (models/swin_transformer.py naming) to
-    our SwinTransformer param tree."""
+    our SwinTransformer variables: {'params': tree}."""
     out: dict = {}
     for k, v in torch_sd.items():
         if k.startswith(("head.", "head_dense.")):
@@ -137,7 +137,7 @@ def import_swin_backbone(torch_sd: Mapping[str, np.ndarray]) -> dict:
                     _linear(base + ("reduction",), parts[4], v, out)
         elif parts[0] == "norm":
             _layernorm(("norm_final",), parts[1], v, out)
-    return out
+    return {"params": out}
 
 
 def import_vit_backbone(torch_sd: Mapping[str, np.ndarray]) -> dict:
@@ -165,26 +165,91 @@ def import_vit_backbone(torch_sd: Mapping[str, np.ndarray]) -> dict:
                 _linear(base + ("mlp", rest[0]), rest[1], v, out)
         elif parts[0] == "norm":
             _layernorm(("norm_final",), parts[1], v, out)
+    return {"params": out}
+
+
+def import_cvt_backbone(torch_sd: Mapping[str, np.ndarray]) -> dict:
+    """Map reference CvT-v4 state_dict (models/cvt_v4_transformer.py naming:
+    stage{i}.0 = ConvEmbed, stage{i}.1.layers.{j}.[0|1] = PreNorm(attn|ff),
+    .2 = DropPath) to our CvT variables: {'params', 'batch_stats'}."""
+    params: dict = {}
+    stats: dict = {}
+    for k, v in torch_sd.items():
+        if k.startswith(("head.", "head_dense.")) or "rel_pos_idx" in k:
+            continue
+        if "num_batches_tracked" in k:
+            continue
+        parts = k.split(".")
+        if parts[0].startswith("stage"):
+            i = parts[0][len("stage"):]
+            if parts[1] == "0":              # ConvEmbed
+                if parts[2] == "proj":
+                    _conv((f"embed_{i}", "proj"), parts[3], v, params)
+                else:
+                    _layernorm((f"embed_{i}", "norm"), parts[3], v, params)
+            elif parts[1] == "1":            # Transformer.layers.j.(0|1)
+                j, which = parts[3], parts[4]
+                base = (f"stage{i}_block{j}",)
+                rest = parts[5:]
+                if which == "0":             # PreNorm(attention)
+                    if rest[0] == "norm":
+                        _layernorm(base + ("norm_attn",), rest[1], v, params)
+                    elif rest[:2] == ["fn", "qkv"]:
+                        sub = rest[2]
+                        if sub == "dw":
+                            _conv(base + ("attn", "qkv", "dw"), rest[3], v, params)
+                        elif sub == "pw":
+                            _conv(base + ("attn", "qkv", "pw"), rest[3], v, params)
+                        elif sub == "bn":
+                            name = rest[3]
+                            if name == "weight":
+                                _set(params, base + ("attn", "qkv", "bn", "scale"), v)
+                            elif name == "bias":
+                                _set(params, base + ("attn", "qkv", "bn", "bias"), v)
+                            elif name == "running_mean":
+                                _set(stats, base + ("attn", "qkv", "bn", "mean"), v)
+                            elif name == "running_var":
+                                _set(stats, base + ("attn", "qkv", "bn", "var"), v)
+                    elif rest[:2] == ["fn", "proj_out"]:
+                        _conv(base + ("attn", "proj_out"), rest[2], v, params)
+                    elif rest[:2] == ["fn", "rel_pos_bias_table"]:
+                        _set(params, base + ("attn", "rel_pos_bias_table"), v)
+                elif which == "1":           # PreNorm(feedforward)
+                    if rest[0] == "norm":
+                        _layernorm(base + ("norm_ff",), rest[1], v, params)
+                    elif rest[:2] == ["fn", "net"]:
+                        idx = {"0": "ff_1", "2": "ff_2"}[rest[2]]
+                        _conv(base + (idx,), rest[3], v, params)
+        elif parts[0] == "norm":
+            _layernorm(("norm_final",), parts[1], v, params)
+    out = {"params": params}
+    if stats:
+        out["batch_stats"] = stats
     return out
 
 
 _BACKBONE_IMPORTERS = {
     "swin": import_swin_backbone,
     "vit": import_vit_backbone,
+    "cvt": import_cvt_backbone,
 }
 
 
 def import_esvit_model(torch_sd: Mapping[str, np.ndarray], arch: str,
                        use_dense_prediction: bool = True) -> dict:
-    """Full EsViTModel param tree {'backbone', 'head'[, 'head_dense']}."""
+    """Full EsViTModel variables {'params': {'backbone', 'head'[, 'head_dense']}
+    [, 'batch_stats': ...]}."""
     if arch not in _BACKBONE_IMPORTERS:
         raise ValueError(f"no importer for arch {arch!r}")
-    params = {"backbone": _BACKBONE_IMPORTERS[arch](torch_sd)}
+    bb = _BACKBONE_IMPORTERS[arch](torch_sd)
+    variables: dict = {"params": {"backbone": bb["params"]}}
+    if "batch_stats" in bb:
+        variables["batch_stats"] = {"backbone": bb["batch_stats"]}
     if any(k.startswith("head.") for k in torch_sd):
-        params["head"] = _import_dino_head(torch_sd, "head")
+        variables["params"]["head"] = _import_dino_head(torch_sd, "head")
     if use_dense_prediction and any(k.startswith("head_dense.") for k in torch_sd):
-        params["head_dense"] = _import_dino_head(torch_sd, "head_dense")
-    return params
+        variables["params"]["head_dense"] = _import_dino_head(torch_sd, "head_dense")
+    return variables
 
 
 def verify_tree_matches(imported: Any, reference: Any, path: str = "") -> list[str]:

@@ -39,11 +39,21 @@ class EsViTModel(nn.Module):
         if self.use_dense_prediction:
             self.head_dense = DINOHead(self.head_cfg, dtype=self.dtype)
 
-    def __call__(self, crops: Sequence[jnp.ndarray], deterministic: bool = True):
-        """crops: tuple of per-resolution batches (n_r*B, S_r, S_r, 3)."""
+    def __call__(self, crops: Sequence[jnp.ndarray], deterministic: bool = True,
+                 bn_train: bool | None = None):
+        """crops: tuple of per-resolution batches (n_r*B, S_r, S_r, 3).
+
+        bn_train: BatchNorm mode for BN backbones (CvT/ResNet). Defaults to
+        ``not deterministic``; the train step passes True for the teacher,
+        which runs deterministically but keeps BN in batch-stats mode like
+        the reference's always-train-mode teacher (main_esvit.py:364-383).
+        """
+        if bn_train is None:
+            bn_train = not deterministic
         cls_list, fea_list, npatch = [], [], []
         for x in crops:
-            cls, fea = self.backbone.forward_features(x, deterministic)
+            cls, fea = self.backbone.forward_features(
+                x, deterministic, bn_train=bn_train)
             cls_list.append(cls)
             fea_list.append(fea)
             npatch.append(fea.shape[1])
@@ -59,6 +69,9 @@ class EsViTModel(nn.Module):
     # ---- evaluation/analysis entry points, dispatched via apply(method=...)
     def features(self, x, deterministic: bool = True):
         return self.backbone.forward_features(x, deterministic)
+
+    def head_only(self, cls, deterministic: bool = True):
+        return self.head(cls, deterministic)
 
     def selfattention(self, x, n: int = 1, deterministic: bool = True):
         return self.backbone.forward_selfattention(x, n, deterministic)

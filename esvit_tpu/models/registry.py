@@ -25,14 +25,13 @@ def build_backbone(cfg: Any, dtype=jnp.float32):
     name = getattr(cfg, "name", None)
     if name not in _REGISTRY:
         # Import model modules lazily so registration happens on demand.
-        import esvit_tpu.models.swin  # noqa: F401
-        import esvit_tpu.models.vit  # noqa: F401
-        try:
-            import esvit_tpu.models.cvt  # noqa: F401
-            import esvit_tpu.models.vil  # noqa: F401
-            import esvit_tpu.models.resnet  # noqa: F401
-        except ImportError:
-            pass
+        import importlib
+
+        for mod in ("swin", "vit", "cvt", "vil", "resnet"):
+            try:
+                importlib.import_module(f"esvit_tpu.models.{mod}")
+            except ImportError:
+                pass
     if name not in _REGISTRY:
         raise ValueError(f"no backbone registered for {name!r}; have {sorted(_REGISTRY)}")
     return _REGISTRY[name](cfg, dtype=dtype)

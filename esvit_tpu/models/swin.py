@@ -307,10 +307,12 @@ class SwinTransformer(nn.Module):
             x = x + self.absolute_pos_embed.astype(x.dtype)
         return self.pos_drop(x, deterministic=deterministic)
 
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, bn_train: bool = False):
         return self.forward_features(x, deterministic)
 
-    def forward_features(self, x, deterministic: bool = True):
+    def forward_features(self, x, deterministic: bool = True,
+                         bn_train: bool = False):
+        del bn_train  # no BatchNorm in Swin
         x = self._embed(x, deterministic)
         for stage in self.stages:
             x, _ = stage(x, deterministic)

@@ -138,10 +138,12 @@ class VisionTransformer(nn.Module):
         x = x + self._pos_embed_for(x.shape[1] - 1).astype(x.dtype)
         return self.pos_drop(x, deterministic=deterministic)
 
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, bn_train: bool = False):
         return self.forward_features(x, deterministic)
 
-    def forward_features(self, x, deterministic: bool = True):
+    def forward_features(self, x, deterministic: bool = True,
+                         bn_train: bool = False):
+        del bn_train  # no BatchNorm in ViT
         x = self._embed(x, deterministic)
         for blk in self.blocks:
             x, _ = blk(x, deterministic)

@@ -77,4 +77,6 @@ def shard_train_state(state, mesh: Mesh):
         teacher=jax.device_put(state.teacher, p_shard),
         opt_state=jax.device_put(state.opt_state, rep),
         centers=jax.device_put(state.centers, rep),
+        student_state=jax.device_put(state.student_state, rep),
+        teacher_state=jax.device_put(state.teacher_state, rep),
     )

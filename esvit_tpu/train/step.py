@@ -33,6 +33,12 @@ class TrainState(NamedTuple):
     teacher: Any                      # fp32 param pytree (EMA of student)
     opt_state: Any
     centers: losses.DinoCenters
+    # Non-param variable collections (e.g. BatchNorm batch_stats for
+    # CvT/ResNet). Each net keeps its own, updated by its own forwards —
+    # the reference's teacher runs in train mode and maintains its own BN
+    # buffers; the EMA touches parameters only (main_esvit.py:586-590).
+    student_state: Any = {}
+    teacher_state: Any = {}
 
 
 class EsViTTrainer:
@@ -70,8 +76,10 @@ class EsViTTrainer:
     def init_state(self, rng: jax.Array, crops) -> TrainState:
         init_fn = jax.jit(lambda r: self.model.init({"params": r}, crops,
                                                     deterministic=True))
-        params = init_fn(rng)["params"]
-        params = jax.tree.map(lambda x: x.astype(jnp.float32), params)
+        variables = init_fn(rng)
+        params = jax.tree.map(lambda x: x.astype(jnp.float32),
+                              variables["params"])
+        extra = {k: v for k, v in variables.items() if k != "params"}
         self.optimizer = self.make_optimizer(params)
         opt_state = self.optimizer.init(params)
         # Teacher starts as a copy of the student (main_esvit.py:380-383).
@@ -81,6 +89,8 @@ class EsViTTrainer:
             teacher=jax.tree.map(jnp.copy, params),
             opt_state=opt_state,
             centers=losses.DinoCenters.zeros(self.cfg.loss.out_dim),
+            student_state=extra,
+            teacher_state=jax.tree.map(jnp.copy, extra),
         )
 
     def make_optimizer(self, params):
@@ -103,13 +113,31 @@ class EsViTTrainer:
         teacher_in = (batch[0].astype(dtype),)
         student_in = tuple(b.astype(dtype) for b in batch)
 
-        t_out = self.model.apply({"params": state.teacher}, teacher_in,
-                                 deterministic=True)
+        mutable = list(state.teacher_state) if state.teacher_state else False
+        if mutable:
+            # BN backbones: teacher runs deterministically but with BN in
+            # batch-stats mode, maintaining its own buffers (like the
+            # reference's always-train-mode teacher).
+            t_out, t_updates = self.model.apply(
+                {"params": state.teacher, **state.teacher_state}, teacher_in,
+                deterministic=True, bn_train=True, mutable=mutable)
+            new_teacher_state = dict(t_updates)
+        else:
+            t_out = self.model.apply({"params": state.teacher}, teacher_in,
+                                     deterministic=True)
+            new_teacher_state = state.teacher_state
 
         def loss_fn(params):
             rngs = {"droppath": rng, "dropout": jax.random.fold_in(rng, 1)}
-            s_out = self.model.apply({"params": params}, student_in,
-                                     deterministic=False, rngs=rngs)
+            if mutable:
+                s_out, s_updates = self.model.apply(
+                    {"params": params, **state.student_state}, student_in,
+                    deterministic=False, rngs=rngs, mutable=mutable)
+                s_updates = dict(s_updates)
+            else:
+                s_out = self.model.apply({"params": params}, student_in,
+                                         deterministic=False, rngs=rngs)
+                s_updates = state.student_state
             if cfg.loss.use_dense_prediction:
                 loss, new_centers = losses.ddino_loss(
                     s_out, t_out, state.centers, t_temp, ncrops=ncrops,
@@ -121,9 +149,9 @@ class EsViTTrainer:
                     student_temp=cfg.loss.student_temp,
                     center_momentum=cfg.loss.center_momentum)
                 new_centers = state.centers._replace(center=new_center)
-            return loss, new_centers
+            return loss, (new_centers, s_updates)
 
-        (loss, new_centers), grads = jax.value_and_grad(
+        (loss, (new_centers, new_student_state)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.student)
 
         # Last-layer freeze (utils.py:118-123): first freeze_last_layer epochs.
@@ -144,7 +172,9 @@ class EsViTTrainer:
                                state.teacher, student)
 
         new_state = TrainState(step=step + 1, student=student, teacher=teacher,
-                               opt_state=opt_state, centers=new_centers)
+                               opt_state=opt_state, centers=new_centers,
+                               student_state=new_student_state,
+                               teacher_state=new_teacher_state)
         metrics = {
             "loss": loss,
             "lr": self.lr_fn(step),

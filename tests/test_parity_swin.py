@@ -48,7 +48,7 @@ def pair():
     x0 = jnp.zeros((1, 32, 32, 3))
     init_params = ours.init({"params": jax.random.PRNGKey(0)}, x0,
                             deterministic=True)["params"]
-    imported = torch_import.import_swin_backbone(sd)
+    imported = torch_import.import_swin_backbone(sd)["params"]
     problems = torch_import.verify_tree_matches(
         imported, jax.tree.map(np.asarray, init_params))
     assert not problems, "\n".join(problems)
@@ -147,7 +147,7 @@ def test_full_esvit_multicrop_parity(np_rng):
                jnp.asarray(l.transpose(0, 2, 3, 1)))
     init = ours.init({"params": jax.random.PRNGKey(0)}, crops_j,
                      deterministic=True)["params"]
-    imported = torch_import.import_esvit_model(sd, "swin")
+    imported = torch_import.import_esvit_model(sd, "swin")["params"]
     problems = torch_import.verify_tree_matches(
         imported, jax.tree.map(np.asarray, init))
     assert not problems, "\n".join(problems)
@@ -160,7 +160,7 @@ def test_full_esvit_multicrop_parity(np_rng):
         t_cls, t_reg, t_fea, t_npatch = ref(crops_t)
     j_cls, j_reg, j_fea, j_npatch = ours.apply(
         {"params": jax.tree.map(jnp.asarray, imported)}, crops_j,
-        deterministic=True)
+        deterministic=True)  # imported == variables['params']
     assert tuple(t_npatch) == tuple(int(n) for n in j_npatch)
     np.testing.assert_allclose(np.asarray(j_fea), t_fea.numpy(), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(j_cls), t_cls.numpy(), rtol=1e-4, atol=1e-5)
