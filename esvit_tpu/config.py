@@ -307,14 +307,34 @@ def cvt_femto(**kw) -> CvTConfig:
     ), **kw)
 
 
+def vil_from_arch(arch: str, **kw) -> ViLConfig:
+    """Build from the reference MSVIT.ARCH string (vision_longformer.py:474)."""
+    from esvit_tpu.models.vil import parse_vil_arch
+
+    return ViLConfig(stages=parse_vil_arch(arch), **kw)
+
+
+VIL_TINY_ARCH = ("l1,h1,d48,n1,s1,g1,p4,f7_l2,h3,d96,n1,s1,g1,p2,f7_"
+                 "l3,h3,d192,n9,s0,g1,p2,f7_l4,h6,d384,n1,s0,g0,p2,f7")
+VIL_SMALL_ARCH = ("l1,h3,d96,n2,s1,g1,p4,f7_l2,h3,d192,n2,s1,g1,p2,f7_"
+                  "l3,h6,d384,n8,s0,g1,p2,f7_l4,h12,d768,n1,s0,g0,p2,f7")
+
+
 def vil_tiny(**kw) -> ViLConfig:
-    """experiments/imagenet/vil/vil_small arch string: 4 stages."""
-    return ViLConfig(stages=(
-        ViLStageConfig(num_heads=3, embed_dim=96, depth=2, patch_size=4, window_size=7),
-        ViLStageConfig(num_heads=6, embed_dim=192, depth=2, patch_size=2, window_size=7),
-        ViLStageConfig(num_heads=12, embed_dim=384, depth=6, patch_size=2, window_size=7),
-        ViLStageConfig(num_heads=24, embed_dim=768, depth=2, patch_size=2, window_size=7),
-    ), **kw)
+    """experiments/imagenet/vil/vil_tiny/base.yaml MSVIT.ARCH."""
+    return vil_from_arch(VIL_TINY_ARCH, **kw)
+
+
+def vil_small(**kw) -> ViLConfig:
+    """experiments/imagenet/vil/vil_small/base.yaml MSVIT.ARCH."""
+    return vil_from_arch(VIL_SMALL_ARCH, **kw)
+
+
+def vil_femto(**kw) -> ViLConfig:
+    """Tiny CPU-testable ViL: sparse stage + full stage with global tokens."""
+    kw.setdefault("img_size", 32)
+    return vil_from_arch("l1,h2,d16,n1,s1,g1,p4,f2_l2,h2,d32,n1,s0,g1,p2,f2",
+                         **kw)
 
 
 def swin_femto(**kw) -> SwinConfig:
@@ -338,7 +358,9 @@ PRESETS = {
     "deit_small": deit_small,
     "vit_base": vit_base,
     "cvt_tiny": cvt_tiny,
+    "vil_femto": vil_femto,
     "vil_tiny": vil_tiny,
+    "vil_small": vil_small,
 }
 
 

@@ -228,10 +228,61 @@ def import_cvt_backbone(torch_sd: Mapping[str, np.ndarray]) -> dict:
     return out
 
 
+def import_vil_backbone(torch_sd: Mapping[str, np.ndarray]) -> dict:
+    """Map reference MsViT state_dict (models/vision_longformer.py naming:
+    layer{s}.0 = PatchEmbed, layer{s}.{2j+1} = AttnBlock,
+    layer{s}.{2j+2} = MlpBlock) to our MsViT param tree."""
+    out: dict = {}
+    for k, v in torch_sd.items():
+        if k.startswith(("head.", "head_dense.")):
+            continue
+        if "relative_position_index" in k or "calls_since_last_redraw" in k:
+            continue
+        parts = k.split(".")
+        if parts[0].startswith("layer") and parts[0] != "layers":
+            i = int(parts[0][len("layer"):]) - 1          # layer1 -> stage 0
+            seq = int(parts[1])
+            rest = parts[2:]
+            if seq == 0:                                  # PatchEmbed
+                base = (f"embed_{i}",)
+                if rest[0] == "proj":
+                    _conv(base + ("proj",), rest[1], v, out)
+                elif rest[0] == "norm_embed":
+                    _layernorm(base + ("norm_embed",), rest[1], v, out)
+                elif rest[0] in ("cls_token", "cls_pos_embed",
+                                 "x_pos_embed", "y_pos_embed"):
+                    _set(out, base + (rest[0],), v)
+            else:
+                j = (seq - 1) // 2
+                is_attn = (seq - 1) % 2 == 0
+                base = (f"stage{i}_attn{j}",) if is_attn else (f"stage{i}_mlp{j}",)
+                if rest[0] == "norm":
+                    _layernorm(base + ("norm",), rest[1], v, out)
+                elif rest[0] == "attn":
+                    sub = rest[1]
+                    if sub in ("qkv", "query", "kv", "proj", "query_global",
+                               "kv_global", "proj_global"):
+                        _linear(base + ("attn", sub), rest[2], v, out)
+                    elif sub in ("local_relative_position_bias_table",
+                                 "g2l_relative_position_bias",
+                                 "g2g_relative_position_bias"):
+                        _set(out, base + ("attn", sub), v)
+                    elif sub in ("proj_k", "proj_v"):     # linformer
+                        _set(out, base + ("attn", sub), v)
+                    elif sub == "proj_sr":                # srformer
+                        _conv(base + ("attn", "proj_sr"), rest[2], v, out)
+                elif rest[0] == "mlp":
+                    _linear(base + ("mlp", rest[1]), rest[2], v, out)
+        elif parts[0] == "norm":
+            _layernorm(("norm_final",), parts[1], v, out)
+    return {"params": out}
+
+
 _BACKBONE_IMPORTERS = {
     "swin": import_swin_backbone,
     "vit": import_vit_backbone,
     "cvt": import_cvt_backbone,
+    "vil": import_vil_backbone,
 }
 
 

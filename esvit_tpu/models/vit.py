@@ -116,18 +116,22 @@ class VisionTransformer(nn.Module):
 
     def _pos_embed_for(self, npatch: int):
         """Bicubic interpolation of the patch-grid pos-embed when the crop
-        resolution differs from the native one (ref :271-285)."""
+        resolution differs from the native one (ref :271-285), using torch's
+        interpolate semantics (scale_factor sqrt(npatch/N), A=-0.75 kernel)
+        for checkpoint parity."""
+        from esvit_tpu.ops.resample import torch_interpolate_scale
+
         pe = self.pos_embed
         n = pe.shape[1] - 1
         if npatch == n:
             return pe
         cls_pe, patch_pe = pe[:, :1], pe[:, 1:]
         s_old = int(math.isqrt(n))
-        s_new = int(math.isqrt(npatch))
         grid = patch_pe.reshape(1, s_old, s_old, -1)
-        grid = jax.image.resize(grid, (1, s_new, s_new, grid.shape[-1]),
-                                method="bicubic")
-        return jnp.concatenate([cls_pe, grid.reshape(1, npatch, -1)], axis=1)
+        grid = torch_interpolate_scale(grid, math.sqrt(npatch / n))
+        flat = grid.reshape(1, -1, grid.shape[-1])
+        assert flat.shape[1] == npatch
+        return jnp.concatenate([cls_pe, flat], axis=1)
 
     def _embed(self, x, deterministic):
         B = x.shape[0]
