@@ -45,6 +45,11 @@ class SwinConfig:
     ape: bool = False
     patch_norm: bool = True
     norm_eps: float = 1e-6
+    # 'xla' (default: batched-matmul attention, fastest on current Mosaic —
+    # see PERF.md) or 'pallas' (fused VMEM kernel, kept for future tuning).
+    attention_impl: str = "xla"
+    # fp32 matches torch-AMP softmax numerics; bf16 is ~14% faster.
+    score_dtype: str = "float32"
 
     name: str = "swin"
 

@@ -40,7 +40,14 @@ Dtype = Any
 
 class WindowAttention(nn.Module):
     """W-MSA / SW-MSA with relative position bias
-    (ref: models/swin_transformer.py:72-152)."""
+    (ref: models/swin_transformer.py:72-152).
+
+    The rel-pos bias and the shifted-window mask are fused into one
+    (nWm, nH, N, N) additive tensor up front (the reference gathers the
+    table and adds the mask separately every forward). ``attention_impl``
+    selects the XLA batched-matmul path (default) or the fused Pallas
+    kernel (ops/pallas_window_attention.py).
+    """
 
     dim: int
     window_size: int
@@ -49,6 +56,8 @@ class WindowAttention(nn.Module):
     qk_scale: Optional[float] = None
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    attention_impl: str = "xla"
+    score_dtype: Any = jnp.float32
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -64,29 +73,38 @@ class WindowAttention(nn.Module):
         table = self.param("relative_position_bias_table", trunc_normal_init,
                            ((2 * ws - 1) * (2 * ws - 1), nH), jnp.float32)
 
-        qkv = dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(B_, N, 3, nH, hd).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]                    # (B_, nH, N, hd)
-
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k,
-                          preferred_element_type=jnp.float32)
-
         idx = wops.relative_position_index(ws, ws)          # (ws*ws, ws*ws) np
         bias = table[idx.reshape(-1)].reshape(ws * ws, ws * ws, nH)
-        bias = bias.transpose(2, 0, 1)[None]                # (1, nH, N, N) fp32
-        # When the runtime window equals the construction window, N == ws*ws.
-        attn = attn + bias[:, :, :N, :N]
-
+        bias = bias.transpose(2, 0, 1)[None, :, :N, :N]     # (1, nH, N, N) f32
         if mask is not None:
-            nW = mask.shape[0]
-            m = jnp.asarray(mask, jnp.float32)              # (nW, N, N) constant
-            attn = attn.reshape(B_ // nW, nW, nH, N, N) + m[None, :, None]
-            attn = attn.reshape(B_, nH, N, N)
+            m = jnp.asarray(mask, jnp.float32)              # (nW, N, N) const
+            bias = bias + m[:, None]                        # (nW, nH, N, N)
 
-        probs = softmax_fp32(attn)                           # fp32
-        probs_c = nn.Dropout(self.attn_drop)(probs, deterministic=deterministic)
-        out = jnp.einsum("bhnm,bhmd->bhnd", probs_c.astype(self.dtype), v)
-        out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
+        qkv = dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+
+        use_pallas = (self.attention_impl == "pallas" and not return_attention
+                      and self.attn_drop == 0.0)
+        if use_pallas:
+            from esvit_tpu.ops.pallas_window_attention import \
+                fused_window_attention
+
+            out = fused_window_attention(qkv, bias, nH, scale)
+            probs = None
+        else:
+            qkv_r = qkv.reshape(B_, N, 3, nH, hd).transpose(2, 0, 3, 1, 4)
+            q, k, v = qkv_r[0], qkv_r[1], qkv_r[2]          # (B_, nH, N, hd)
+            sd = self.score_dtype
+            attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k,
+                              preferred_element_type=sd)
+            nWm = bias.shape[0]
+            attn = (attn.reshape(B_ // nWm, nWm, nH, N, N)
+                    + bias[None].astype(sd)).reshape(B_, nH, N, N)
+            probs = softmax_fp32(attn)                       # fp32
+            probs_c = nn.Dropout(self.attn_drop)(probs,
+                                                 deterministic=deterministic)
+            out = jnp.einsum("bhnm,bhmd->bhnd", probs_c.astype(self.dtype), v)
+            out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
+
         out = dense(C, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         if return_attention:
@@ -109,6 +127,8 @@ class SwinBlock(nn.Module):
     attn_drop: float = 0.0
     drop_path: float = 0.0
     norm_eps: float = 1e-6
+    attention_impl: str = "xla"
+    score_dtype: Any = jnp.float32
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -135,7 +155,8 @@ class SwinBlock(nn.Module):
         attn_out, attn = WindowAttention(
             self.dim, ws, self.num_heads, qkv_bias=self.qkv_bias,
             qk_scale=self.qk_scale, attn_drop=self.attn_drop,
-            proj_drop=self.drop, dtype=self.dtype, name="attn",
+            proj_drop=self.drop, attention_impl=self.attention_impl,
+            score_dtype=self.score_dtype, dtype=self.dtype, name="attn",
         )(windows, mask, deterministic, return_attention)
 
         x = wops.window_reverse(attn_out, ws, Hp, Wp)
@@ -221,6 +242,8 @@ class SwinStage(nn.Module):
     drop_path: tuple[float, ...]
     norm_eps: float
     downsample: bool
+    attention_impl: str = "xla"
+    score_dtype: Any = jnp.float32
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -233,7 +256,9 @@ class SwinStage(nn.Module):
                 mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                 qk_scale=self.qk_scale, drop=self.drop,
                 attn_drop=self.attn_drop, drop_path=self.drop_path[i],
-                norm_eps=self.norm_eps, dtype=self.dtype,
+                norm_eps=self.norm_eps,
+                attention_impl=self.attention_impl,
+                score_dtype=self.score_dtype, dtype=self.dtype,
                 name=f"blocks_{i}",
             )
             for i in range(self.depth)
@@ -295,6 +320,8 @@ class SwinTransformer(nn.Module):
                 attn_drop=c.attn_drop_rate,
                 drop_path=tuple(float(d) for d in dpr[lo:hi]),
                 norm_eps=c.norm_eps, downsample=(i < nstages - 1),
+                attention_impl=c.attention_impl,
+                score_dtype=jnp.dtype(c.score_dtype).type,
                 dtype=self.dtype, name=f"layers_{i}",
             ))
         self.stages = stages
