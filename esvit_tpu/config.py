@@ -138,6 +138,12 @@ class ViLConfig:
     in_chans: int = 3
     stages: tuple[ViLStageConfig, ...] = ()
     attn_type: str = "longformer"   # longformer | full | performer | linformer | srformer
+    # Sliding-chunk neighbor sampling (ref longformer2d.py:135-155 +
+    # VIL_MODE_SWITCH config knob): mode>0 => during the first
+    # mode_switch fraction of training, each step samples one random
+    # neighbor chunk (memory saver); afterwards full 8-neighbor attention.
+    mode: int = 0
+    mode_switch: float = 0.5
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
     drop_rate: float = 0.0
@@ -246,6 +252,7 @@ class TrainConfig:
     crops: CropConfig = field(default_factory=CropConfig)
     optim: OptimConfig = field(default_factory=OptimConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
+    mixup: Any = None               # data.mixup.MixupConfig | None
     seed: int = 0
     dtype: Any = jnp.bfloat16       # compute dtype (replaces AMP fp16)
     steps_per_epoch: int = 1251     # ImageNet-1K / 1024 default; set by data

@@ -40,20 +40,24 @@ class EsViTModel(nn.Module):
             self.head_dense = DINOHead(self.head_cfg, dtype=self.dtype)
 
     def __call__(self, crops: Sequence[jnp.ndarray], deterministic: bool = True,
-                 bn_train: bool | None = None):
+                 bn_train: bool | None = None, mode: int = 0):
         """crops: tuple of per-resolution batches (n_r*B, S_r, S_r, 3).
 
         bn_train: BatchNorm mode for BN backbones (CvT/ResNet). Defaults to
         ``not deterministic``; the train step passes True for the teacher,
         which runs deterministically but keeps BN in batch-stats mode like
         the reference's always-train-mode teacher (main_esvit.py:364-383).
+        mode: ViL sliding-chunk neighbor-sampling mode (static; ignored by
+        other backbones).
         """
         if bn_train is None:
             bn_train = not deterministic
+        is_vil = getattr(self.backbone_cfg, "name", "") == "vil"
+        extra = {"mode": mode} if is_vil else {}
         cls_list, fea_list, npatch = [], [], []
         for x in crops:
             cls, fea = self.backbone.forward_features(
-                x, deterministic, bn_train=bn_train)
+                x, deterministic, bn_train=bn_train, **extra)
             cls_list.append(cls)
             fea_list.append(fea)
             npatch.append(fea.shape[1])

@@ -13,6 +13,11 @@ sparse stage (ref :309-359).
 forward_features (ref :581-605): stages chain through (tokens, nx, ny),
 stripping global tokens between stages; final LN; cls = global token 0 when
 the last stage has one, else mean-pool.
+
+Documented deviation: the reference samples the sliding-chunk neighbor mode
+independently PER LAYER per forward (longformer2d.py:151); here ``mode`` is
+static per net per step (host-sampled, jit caches the 8 variants) — the
+same unbiased neighbor distribution without 8^depth compile variants.
 """
 
 from __future__ import annotations

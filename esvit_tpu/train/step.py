@@ -98,9 +98,14 @@ class EsViTTrainer:
                                         self.lr_fn, self.wd_fn)
 
     # ---------------------------------------------------------------- step
-    def train_step(self, state: TrainState, batch, rng: jax.Array):
+    def train_step(self, state: TrainState, batch, rng: jax.Array,
+                   mode: int = 0, teacher_mode: int = 0):
         """batch: tuple of per-resolution crop arrays
-        ((2B, Sg, Sg, 3), (L*B, Sl, Sl, 3), ...). Returns (state, metrics)."""
+        ((2B, Sg, Sg, 3), (L*B, Sl, Sl, 3), ...). Returns (state, metrics).
+
+        mode / teacher_mode: static ViL sliding-chunk sampling modes
+        (ref longformer2d.py:147-155 — both nets sample independently in
+        train mode; the host draws them and jit caches the 8 variants)."""
         cfg = self.cfg
         B = batch[0].shape[0] // 2
         ncrops = 2 + (batch[1].shape[0] // B if len(batch) > 1 else 0)
@@ -113,6 +118,22 @@ class EsViTTrainer:
         teacher_in = (batch[0].astype(dtype),)
         student_in = tuple(b.astype(dtype) for b in batch)
 
+        # Mixup-SSL (main_esvit.py:515-538): mix the first views of the
+        # STUDENT inputs; the teacher sees clean globals. The matching
+        # targets feed the view-level loss only (DDINO ignores them, like
+        # the reference).
+        targets_mixup = None
+        mix = getattr(cfg, "mixup", None)
+        if mix is not None and mix.enabled:
+            from esvit_tpu.data.mixup import mixup_multicrop
+
+            rng, mix_rng = jax.random.split(rng)
+            g, l, targets_mixup = mixup_multicrop(
+                mix_rng, student_in[0],
+                student_in[1] if len(student_in) > 1
+                else student_in[0][:0], mix)
+            student_in = (g, l) if len(student_in) > 1 else (g,)
+
         mutable = list(state.teacher_state) if state.teacher_state else False
         if mutable:
             # BN backbones: teacher runs deterministically but with BN in
@@ -120,11 +141,12 @@ class EsViTTrainer:
             # reference's always-train-mode teacher).
             t_out, t_updates = self.model.apply(
                 {"params": state.teacher, **state.teacher_state}, teacher_in,
-                deterministic=True, bn_train=True, mutable=mutable)
+                deterministic=True, bn_train=True, mode=teacher_mode,
+                mutable=mutable)
             new_teacher_state = dict(t_updates)
         else:
             t_out = self.model.apply({"params": state.teacher}, teacher_in,
-                                     deterministic=True)
+                                     deterministic=True, mode=teacher_mode)
             new_teacher_state = state.teacher_state
 
         def loss_fn(params):
@@ -132,11 +154,13 @@ class EsViTTrainer:
             if mutable:
                 s_out, s_updates = self.model.apply(
                     {"params": params, **state.student_state}, student_in,
-                    deterministic=False, rngs=rngs, mutable=mutable)
+                    deterministic=False, rngs=rngs, mode=mode,
+                    mutable=mutable)
                 s_updates = dict(s_updates)
             else:
                 s_out = self.model.apply({"params": params}, student_in,
-                                         deterministic=False, rngs=rngs)
+                                         deterministic=False, rngs=rngs,
+                                         mode=mode)
                 s_updates = state.student_state
             if cfg.loss.use_dense_prediction:
                 loss, new_centers = losses.ddino_loss(
@@ -147,7 +171,8 @@ class EsViTTrainer:
                 loss, new_center = losses.dino_loss(
                     s_out, t_out, state.centers.center, t_temp, ncrops=ncrops,
                     student_temp=cfg.loss.student_temp,
-                    center_momentum=cfg.loss.center_momentum)
+                    center_momentum=cfg.loss.center_momentum,
+                    targets_mixup=targets_mixup)
                 new_centers = state.centers._replace(center=new_center)
             return loss, (new_centers, s_updates)
 

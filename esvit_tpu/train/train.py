@@ -68,9 +68,25 @@ def train(cfg: config_lib.TrainConfig, *, dataset=None, data_kind="synthetic",
             state = mesh_lib.shard_train_state(restored, mesh)
             print(f"resumed from step {int(state.step)}", flush=True)
 
-    step_fn = (jax.jit(trainer.train_step, donate_argnums=(0,)) if donate
-               else jax.jit(trainer.train_step))
+    step_fn = jax.jit(trainer.train_step,
+                      static_argnames=("mode", "teacher_mode"),
+                      donate_argnums=(0,) if donate else ())
     rng = jax.random.PRNGKey(cfg.seed + 1)
+
+    # ViL neighbor-sampling schedule (VIL_MODE_SWITCH): sample one random
+    # neighbor chunk per net per step for the first mode_switch fraction of
+    # training, then full attention.
+    import random as _random
+
+    vil_mode = getattr(cfg.model, "mode", 0)
+    vil_switch_step = int(getattr(cfg.model, "mode_switch", 0.0)
+                          * cfg.optim.epochs * steps_per_epoch)
+    mode_rng = _random.Random(cfg.seed)
+
+    def modes_for(step_idx: int) -> tuple[int, int]:
+        if vil_mode > 0 and step_idx < vil_switch_step:
+            return mode_rng.randrange(1, 9), mode_rng.randrange(1, 9)
+        return 0, 0
 
     start_epoch = int(state.step) // steps_per_epoch
     for epoch in range(start_epoch, cfg.optim.epochs):
@@ -88,7 +104,9 @@ def train(cfg: config_lib.TrainConfig, *, dataset=None, data_kind="synthetic",
 
         for batch in logger.log_every(batches, 10, header):
             rng, sub = jax.random.split(rng)
-            state, metrics = step_fn(state, shard_batch(batch, mesh), sub)
+            s_mode, t_mode = modes_for(int(state.step))
+            state, metrics = step_fn(state, shard_batch(batch, mesh), sub,
+                                     mode=s_mode, teacher_mode=t_mode)
             loss = float(metrics["loss"])
             if not math.isfinite(loss):
                 # NaN guard (main_esvit.py:546-562): dump debug ckpt, exit.
