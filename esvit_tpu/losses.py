@@ -57,24 +57,31 @@ def dino_loss(student_cls: jnp.ndarray, teacher_cls: jnp.ndarray,
     targets_mixup: optional (ncrops, B, B) matching targets (mixup-SSL,
     main_esvit.py:639-641).
     Returns (scalar loss, new_center (K,)).
+
+    Bandwidth note: the pairwise CE uses the exact identity
+    ``sum(-q * log_softmax(s)) = logsumexp(s) - q . s`` (sum q == 1), so the
+    (rows, 65536) log-prob tensor is never materialized per pair — each
+    student view needs one logsumexp pass and each pair one fused dot.
     """
     s = _chunk_views(student_cls.astype(jnp.float32) / student_temp, ncrops)
     t_logits = (teacher_cls.astype(jnp.float32) - center[None]) / teacher_temp
     q = jax.lax.stop_gradient(jax.nn.softmax(t_logits, axis=-1))
     q = _chunk_views(q, 2)
+    lse = jax.nn.logsumexp(s, axis=-1)                  # (ncrops, B)
 
     total, n_terms = 0.0, 0
     for iq in range(2):
         for v in range(ncrops):
             if v == iq:
                 continue
-            logp = jax.nn.log_softmax(s[v], axis=-1)
             if targets_mixup is not None:
-                # -sum(T_v * (q @ logp^T), -1): soft matching of mixed views.
-                sim = jnp.einsum("ak,bk->ab", q[iq], logp)
-                term = -jnp.sum(targets_mixup[v] * sim, axis=-1)
+                # -sum_b T[a,b] * (q[a] . logp[b]) with logp = s - lse:
+                # = -sum_b T[a,b] (q[a].s[b]) + sum_b T[a,b] lse[b]
+                qs = jnp.einsum("ak,bk->ab", q[iq], s[v])
+                term = (-jnp.sum(targets_mixup[v] * qs, axis=-1)
+                        + targets_mixup[v] @ lse[v])
             else:
-                term = jnp.sum(-q[iq] * logp, axis=-1)
+                term = lse[v] - jnp.sum(q[iq] * s[v], axis=-1)
             total = total + jnp.mean(term)
             n_terms += 1
     loss = total / n_terms
@@ -115,44 +122,67 @@ def ddino_loss(student_out, teacher_out, centers: DinoCenters,
     t_fea_v = jax.lax.stop_gradient(
         t_fea.astype(jnp.float32).reshape(2, B, N_t, -1))
 
-    # Student views.
-    s_cls = _chunk_views(s_cls_out.astype(jnp.float32) / student_temp, ncrops)
-    s_region_flat = s_region_out.astype(jnp.float32) / student_temp
+    # Student views stay in their storage dtype (bf16 in training); the
+    # temperature scaling moves AFTER the linear contractions (exact: bf16
+    # -> fp32 is lossless per element and the contractions accumulate fp32),
+    # so no (rows, K) fp32 copies are materialized.
+    s_cls = _chunk_views(s_cls_out, ncrops)
+    s_region_flat = s_region_out
     s_fea_flat = s_fea.astype(jnp.float32)
-
-    # Static row offsets of each student view inside the flattened region
-    # tensors (replaces torch.split at main_esvit.py:710-715).
-    offsets = [0]
-    for n in view_patches:
-        offsets.append(offsets[-1] + n * B)
-
-    def view_regions(v):
-        n = view_patches[v]
-        sl = slice(offsets[v], offsets[v + 1])
-        return (s_region_flat[sl].reshape(B, n, -1),
-                s_fea_flat[sl].reshape(B, n, -1))
+    inv_t = 1.0 / student_temp
 
     def _l2n(x):
         return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+
+    # Bandwidth-first reformulation (values identical to the reference):
+    # 1. CE identity: sum(-q * log_softmax(s)) = logsumexp(s) - q . s, so
+    #    no (rows, K) log-prob tensor is materialized per pair.
+    # 2. The per-pair "gather teacher row by cosine-argmax then dot" becomes
+    #    M[q,v] = t_region[q] @ s_region[v]^T over K (an MXU matmul reading
+    #    each region tensor ONCE per resolution group) followed by a one-hot
+    #    selection of the matched column — replacing 2*(ncrops-1) gather+dot
+    #    HBM passes with grouped matmuls.
+    lse_cls = jax.nn.logsumexp(s_cls.astype(jnp.float32) * inv_t, axis=-1)
+    qs_cls = jnp.einsum("qbk,vbk->qvb", t_cls, s_cls,
+                        preferred_element_type=jnp.float32) * inv_t
+
+    # Group student views by resolution: views [0,1] at N_g, rest at N_l.
+    groups = []                      # (view_indices, n_patches)
+    if len(s_npatch) == 1:
+        groups.append((list(range(ncrops)), view_patches[0]))
+    else:
+        groups.append(([0, 1], view_patches[0]))
+        groups.append((list(range(2, ncrops)), view_patches[2]))
+
+    t_fea_n = _l2n(t_fea_v)                                      # (2,B,Nt,C)
+    ce_region = {}                   # (iq, v) -> (B,)
+    offset = 0
+    for view_ids, n in groups:
+        nv = len(view_ids)
+        rows = nv * n * B
+        s_reg = s_region_flat[offset:offset + rows].reshape(nv, B, n, -1)
+        s_f = s_fea_flat[offset:offset + rows].reshape(nv, B, n, -1)
+        offset += rows
+
+        sim = jnp.einsum("vbtc,qbjc->qvbtj", _l2n(s_f), t_fea_n)
+        onehot = jax.nn.one_hot(jnp.argmax(sim, axis=-1), t_region.shape[2],
+                                dtype=jnp.float32)               # (2,nv,B,n,Nt)
+        M = jnp.einsum("qbjk,vbtk->qvbtj", t_region, s_reg,
+                       preferred_element_type=jnp.float32) * inv_t
+        qs_reg = jnp.sum(onehot * M, axis=-1)                    # (2,nv,B,n)
+        lse_reg = jax.nn.logsumexp(s_reg.astype(jnp.float32) * inv_t, axis=-1)
+        ce = jnp.mean(lse_reg[None] - qs_reg, axis=-1)           # (2,nv,B)
+        for q in range(2):
+            for i, v in enumerate(view_ids):
+                ce_region[(q, v)] = ce[q, i]
 
     total, n_terms = 0.0, 0
     for iq in range(2):
         for v in range(ncrops):
             if v == iq:
                 continue
-            # view-level CE
-            logp = jax.nn.log_softmax(s_cls[v], axis=-1)
-            loss_v = 0.5 * jnp.sum(-t_cls[iq] * logp, axis=-1)          # (B,)
-
-            # region-level CE with cosine-argmax matching (main_esvit.py:731-742)
-            s_reg, s_f = view_regions(v)                                 # B,Ts,K / B,Ts,C
-            sim = jnp.einsum("btc,bsc->bts", _l2n(s_f), _l2n(t_fea_v[iq]))
-            match = jnp.argmax(sim, axis=-1)                             # B,Ts
-            t_matched = jnp.take_along_axis(
-                t_region[iq], match[..., None], axis=1)                  # B,Ts,K
-            logp_r = jax.nn.log_softmax(s_reg, axis=-1)
-            loss_r = jnp.mean(jnp.sum(-t_matched * logp_r, axis=-1), axis=-1)
-            total = total + jnp.mean(loss_v + 0.5 * loss_r)
+            loss_v = 0.5 * (lse_cls[v] - qs_cls[iq, v])          # (B,)
+            total = total + jnp.mean(loss_v + 0.5 * ce_region[(iq, v)])
             n_terms += 1
     loss = total / n_terms
 
