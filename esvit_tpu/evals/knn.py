@@ -73,8 +73,19 @@ def extract_features(apply_fn, variables, dataset, *, batch_size: int = 64,
             flush()
     flush()
     f = np.concatenate(feats) if feats else np.zeros((0, 1), np.float32)
+    lab_arr = np.asarray(labels, np.int32)
+    if jax.process_count() > 1:
+        # Multi-host: gather every process's shard (the reference
+        # all_gathers per batch, eval_knn.py:164-181; one gather at the end
+        # is equivalent with equal shards from sharded_indices).
+        from jax.experimental import multihost_utils
+
+        f = np.asarray(multihost_utils.process_allgather(f)).reshape(
+            -1, f.shape[-1])
+        lab_arr = np.asarray(
+            multihost_utils.process_allgather(lab_arr)).reshape(-1)
     f /= np.maximum(np.linalg.norm(f, axis=1, keepdims=True), 1e-12)
-    return f, np.asarray(labels, np.int32)
+    return f, lab_arr
 
 
 def _iter_dataset(dataset) -> Iterable:

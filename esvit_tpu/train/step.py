@@ -200,11 +200,15 @@ class EsViTTrainer:
                                opt_state=opt_state, centers=new_centers,
                                student_state=new_student_state,
                                teacher_state=new_teacher_state)
+        grad_norm = jnp.sqrt(sum(
+            jnp.sum(jnp.square(g.astype(jnp.float32)))
+            for g in jax.tree.leaves(grads)))
         metrics = {
             "loss": loss,
             "lr": self.lr_fn(step),
             "wd": self.wd_fn(step),
             "teacher_momentum": m,
             "teacher_temp": t_temp,
+            "grad_norm": grad_norm,
         }
         return new_state, metrics
