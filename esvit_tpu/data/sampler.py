@@ -27,6 +27,52 @@ def sharded_indices(n: int, *, epoch: int, seed: int = 0, shuffle: bool = True,
     return idx[process_index::process_count]
 
 
+def class_aware_indices(labels, *, epoch: int, seed: int = 0,
+                        samples_per_class: int | None = None,
+                        process_index: int = 0, process_count: int = 1
+                        ) -> np.ndarray:
+    """Class-balanced sampling: cycle classes, drawing one sample per class
+    per round (ref: datasets/samplers/class_aware_sampler.py:34-200 —
+    per-class cycling iterators; here one epoch's worth is materialized).
+
+    samples_per_class: cap per class per epoch (target-size variant);
+    default = ceil(mean class size).
+    """
+    labels = np.asarray(labels)
+    rng = np.random.default_rng((seed, epoch))
+    classes = np.unique(labels)
+    if samples_per_class is None:
+        samples_per_class = int(np.ceil(len(labels) / len(classes)))
+    cols = []
+    for c in classes:
+        idx = np.flatnonzero(labels == c)
+        # cycle with reshuffling to reach samples_per_class
+        reps = []
+        while sum(len(r) for r in reps) < samples_per_class:
+            reps.append(rng.permutation(idx))
+        cols.append(np.concatenate(reps)[:samples_per_class])
+    # interleave classes in shuffled order each round
+    grid = np.stack(cols, axis=0)                      # (C, per)
+    order = np.stack([rng.permutation(len(classes))
+                      for _ in range(samples_per_class)], axis=1)
+    out = grid[order, np.arange(samples_per_class)[None, :]].T.reshape(-1)
+    return out[process_index::process_count]
+
+
+def repeated_aug_indices(n: int, *, epoch: int, seed: int = 0,
+                         num_repeats: int = 3, process_index: int = 0,
+                         process_count: int = 1) -> np.ndarray:
+    """Repeated-augmentation sampling (ref: datasets/samplers/ra_sampler.py:
+    12-63): each selected image appears num_repeats times in the epoch
+    (different augmentations downstream), ranks take interleaved slices,
+    epoch truncated to n // num_repeats unique images per full pass."""
+    rng = np.random.default_rng((seed, epoch))
+    idx = rng.permutation(n)
+    repeated = np.repeat(idx, num_repeats)
+    per = (len(repeated) // process_count) * process_count
+    return repeated[:per][process_index::process_count]
+
+
 def chunk_aware_indices(chunk_sizes: list[int], *, epoch: int, seed: int = 0,
                         process_index: int = 0, process_count: int = 1
                         ) -> np.ndarray:

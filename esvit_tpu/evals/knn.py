@@ -208,6 +208,11 @@ def load_backbone_variables(backbone, model_cfg, pretrained: str,
         sd = torch_import.load_torch_checkpoint(pretrained, checkpoint_key)
         arch = getattr(model_cfg, "name", "swin")
         imported = torch_import._BACKBONE_IMPORTERS[arch](sd)
+        if arch == "swin":
+            # window-size / resolution adaptation (swin init_weights parity)
+            imported["params"] = torch_import.adapt_swin_tables(
+                imported["params"], jax.tree.map(np.asarray,
+                                                 variables["params"]))
         return jax.tree.map(jnp.asarray, imported)
     # orbax: restore the TrainState and take the teacher backbone subtree
     import orbax.checkpoint as ocp

@@ -303,6 +303,48 @@ def import_esvit_model(torch_sd: Mapping[str, np.ndarray], arch: str,
     return variables
 
 
+def adapt_swin_tables(imported: dict, target: Any) -> dict:
+    """Cross-window-size / resolution checkpoint adaptation
+    (ref: swin_transformer.py:852-917 init_weights): bicubic-resize
+    relative-position bias tables ((2w-1)^2, nH) and the absolute pos-embed
+    when the imported shapes differ from the target model's — using
+    torch-interpolate semantics (ops/resample.py) like the reference.
+
+    imported/target: matching nested dicts (imported values np, target
+    values array-likes giving the wanted shapes). Returns a new tree.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from esvit_tpu.ops.resample import torch_bicubic_resize
+
+    def walk(imp, tgt, key=""):
+        if not isinstance(imp, dict):
+            want = tuple(np.shape(tgt))
+            have = tuple(np.shape(imp))
+            if have == want:
+                return imp
+            if key == "relative_position_bias_table":
+                L1, nH = have
+                L2, _ = want
+                s1, s2 = int(np.sqrt(L1)), int(np.sqrt(L2))
+                grid = jnp.asarray(imp).reshape(s1, s1, nH)
+                out = torch_bicubic_resize(grid[None], s2, s2)[0]
+                return np.asarray(out).reshape(L2, nH)
+            if key == "absolute_pos_embed":
+                _, L1, C = have
+                _, L2, _ = want
+                s1, s2 = int(np.sqrt(L1)), int(np.sqrt(L2))
+                grid = jnp.asarray(imp).reshape(1, s1, s1, C)
+                out = torch_bicubic_resize(grid, s2, s2)
+                return np.asarray(out).reshape(1, L2, C)
+            return imp          # let verify_tree_matches flag other cases
+        return {k: walk(v, tgt[k], k) if k in tgt else v
+                for k, v in imp.items()}
+
+    return walk(imported, target)
+
+
 def verify_tree_matches(imported: Any, reference: Any, path: str = "") -> list[str]:
     """Structural diff of two nested dicts of arrays: missing/extra/shape
     mismatches, as human-readable strings (empty == perfect match)."""

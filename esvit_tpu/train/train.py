@@ -37,10 +37,27 @@ def shard_batch(batch, mesh):
     return tuple(jax.device_put(b, sh) for b in batch)
 
 
+def git_sha() -> str:
+    """Repo SHA stamping for logs (ref: utils.py:378-395 get_sha)."""
+    import subprocess
+
+    try:
+        cwd = os.path.dirname(os.path.abspath(__file__))
+        sha = subprocess.check_output(
+            ["git", "rev-parse", "HEAD"], cwd=cwd,
+            stderr=subprocess.DEVNULL).decode().strip()
+        dirty = subprocess.call(["git", "diff-index", "--quiet", "HEAD"],
+                                cwd=cwd, stderr=subprocess.DEVNULL)
+        return sha + (" (dirty)" if dirty else "")
+    except Exception:
+        return "unknown"
+
+
 def train(cfg: config_lib.TrainConfig, *, dataset=None, data_kind="synthetic",
           data_kwargs: Optional[dict] = None, host_aug: bool = False,
           resume: bool = True, max_steps: Optional[int] = None,
           donate: bool = False) -> TrainState:
+    print(f"git: {git_sha()}", flush=True)
     mesh = mesh_lib.make_mesh(cfg.mesh)
     n_data = mesh.shape[mesh_lib.DATA_AXIS]
     B = cfg.optim.batch_size_per_device * n_data   # global per-view batch
