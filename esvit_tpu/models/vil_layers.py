@@ -83,6 +83,11 @@ class Long2DSCAttention(nn.Module):
     only_glo: bool = False
     exact: int = 0
     rpe: bool = False
+    # local-to-pooled attention (ref longformer2d.py:104-132, 194-301):
+    # K/V mean-pooled per chunk become extra global-ish keys with learned
+    # per-head scales; optional cross-window rpe bias.
+    add_pooled: bool = False
+    pool_size: int = 0               # 0 -> window size (ref default)
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     dtype: Dtype = jnp.float32
@@ -161,6 +166,49 @@ class Long2DSCAttention(nn.Module):
             # local -> local sliding chunk
             attn11 = sc.slidingchunk_qk(q_c, k_c, mode)
 
+            n_pooled = 0
+            if self.add_pooled:
+                # mean-pool K/V over pool_size patches of the padded grid
+                # (ref pool_method='mean', :218-222); pooled scales are
+                # learned per head (:108-109).
+                ps = self.pool_size or W
+                k_scale = self.param("pooled_k_scale", nn.initializers.ones,
+                                     (1, H), jnp.float32)
+                q_scale = self.param("pooled_q_scale", nn.initializers.ones,
+                                     (1, H), jnp.float32)
+                nx_p = (nx + padx) // ps
+                ny_p = (ny + pady) // ps
+                n_pooled = nx_p * ny_p
+
+                def pool(t_img):
+                    # (B*H, M, Hp, Wp) -> (B*H, M, nx_p * ny_p)
+                    r = t_img.reshape(B * H, M, nx_p, ps, ny_p, ps)
+                    return jnp.mean(r, axis=(3, 5)).reshape(B * H, M, -1)
+
+                pooled_k = pool(k_img)
+                # Reference quirk (longformer2d.py:219-222): the map lambda
+                # ignores its argument, so pooled "values" are pooled KEYS.
+                # Replicated for checkpoint parity.
+                pooled_v = pooled_k
+                ks = jnp.repeat(k_scale.astype(self.dtype), B, axis=0)
+                attn12 = jnp.einsum(
+                    "bcmnl,bct->bmnlt", q_c,
+                    pooled_k * ks.reshape(B * H, 1, 1),
+                    preferred_element_type=jnp.float32)
+                if self.rpe:
+                    from esvit_tpu.ops.window import relative_position_index
+
+                    table_xwin = self.param(
+                        "relative_position_bias_table_xwin",
+                        trunc_normal_init,
+                        ((2 * nx_p - 1) * (2 * ny_p - 1), H), jnp.float32)
+                    idx_xw = relative_position_index(nx_p, ny_p)
+                    bias_xw = table_xwin[idx_xw.reshape(-1)].reshape(
+                        n_pooled, n_pooled, H).transpose(2, 0, 1)
+                    bias_xw = bias_xw.reshape(1, H, nx_p, ny_p, 1, n_pooled)
+                    attn12 = (attn12.reshape(B, H, mx_, my_, W2, n_pooled)
+                              + bias_xw).reshape(B * H, mx_, my_, W2, n_pooled)
+
             if self.rpe:
                 if Nglo >= 1:
                     bias_l2g = g2l[1].reshape(1, H, 1, 1, 1, Nglo)
@@ -175,16 +223,25 @@ class Long2DSCAttention(nn.Module):
 
             attn11 = sc.apply_invalid_mask(attn11, mx_, my_, padx, pady, W,
                                            self.exact, mode)
-            attn1 = jnp.concatenate([attn10, attn11], axis=-1)
+            parts = [attn10, attn11]
+            if self.add_pooled:
+                parts.append(attn12)
+            attn1 = jnp.concatenate(parts, axis=-1)
             probs = softmax_fp32(attn1 - jnp.max(attn1, -1, keepdims=True))
             probs = nn.Dropout(self.attn_drop)(probs, deterministic=deterministic)
             probs = probs.astype(self.dtype)
 
-            x1 = sc.slidingchunk_av(probs[..., Nglo:], v_c, mode)
+            x1 = sc.slidingchunk_av(
+                probs[..., Nglo:Nglo + kv_nums], v_c, mode)
             if Nglo >= 1:
                 x1 = x1 + jnp.einsum(
                     "bmnlt,btc->bcmnl", probs[..., :Nglo],
                     v[:, :, :Nglo].reshape(B * H, Nglo, M))
+            if self.add_pooled:
+                qs = jnp.repeat(q_scale.astype(self.dtype), B, axis=0)
+                x1 = x1 + jnp.einsum(
+                    "bmnlt,bct->bcmnl", probs[..., Nglo + kv_nums:],
+                    pooled_v * qs.reshape(B * H, 1, 1))
             # chunks -> grid -> (B, H, Nloc, M)
             x1 = x1.reshape(B * H, M, mx_, my_, W, W).transpose(
                 0, 1, 2, 4, 3, 5).reshape(B * H, M, mx_ * W, my_ * W)
