@@ -204,6 +204,46 @@ class TSVOpenImageDataset:
         return _decode_b64_image(img_row[-1]), label
 
 
+class ProceduralShapes:
+    """Structured synthetic dataset: colored shapes on noisy backgrounds,
+    class = shape type. Gives SSL something learnable without real data —
+    used by the learning-validation harness (scripts/validate_learning.py)."""
+
+    SHAPES = ("circle", "square", "triangle", "bar")
+
+    def __init__(self, n: int = 512, size: int = 64, seed: int = 0):
+        self.n, self.size, self.seed = n, size, seed
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i: int):
+        import numpy as np
+        from PIL import ImageDraw
+
+        rng = np.random.default_rng(self.seed * 1000003 + i)
+        label = i % len(self.SHAPES)
+        s = self.size
+        bg = rng.integers(0, 80, (s, s, 3), dtype=np.uint8)
+        img = Image.fromarray(bg)
+        draw = ImageDraw.Draw(img)
+        color = tuple(int(c) for c in rng.integers(120, 256, 3))
+        r = int(rng.integers(s // 6, s // 3))
+        cx = int(rng.integers(r + 2, s - r - 2))
+        cy = int(rng.integers(r + 2, s - r - 2))
+        if label == 0:
+            draw.ellipse([cx - r, cy - r, cx + r, cy + r], fill=color)
+        elif label == 1:
+            draw.rectangle([cx - r, cy - r, cx + r, cy + r], fill=color)
+        elif label == 2:
+            draw.polygon([(cx, cy - r), (cx - r, cy + r), (cx + r, cy + r)],
+                         fill=color)
+        else:
+            draw.rectangle([cx - r, cy - r // 3, cx + r, cy + r // 3],
+                           fill=color)
+        return img, label
+
+
 class SyntheticImages:
     """Deterministic random images for tests/benches (no disk)."""
 
@@ -232,6 +272,7 @@ def build_dataset(kind: str, **kw):
         "composite_tsv": CompositeTSVDataset,
         "openimages_tsv": TSVOpenImageDataset,
         "synthetic": SyntheticImages,
+        "shapes": ProceduralShapes,
     }
     if kind not in kinds:
         raise ValueError(f"unknown dataset kind {kind!r}; have {sorted(kinds)}")

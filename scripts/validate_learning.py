@@ -1,0 +1,110 @@
+"""End-to-end learning validation (the reference's smoke-train analogue,
+SURVEY.md §4, but with a measurable outcome).
+
+Pre-trains a femto Swin with the full EsViT recipe (multi-crop DDINO,
+on-device augmentation, teacher EMA) on a procedural shape dataset for a few
+hundred steps and compares frozen-teacher k-NN accuracy before vs after.
+Passing bar: trained features beat random-init features by a clear margin.
+
+Run: python scripts/validate_learning.py [--steps 300] [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=2000)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from esvit_tpu import config
+    from esvit_tpu.data.datasets import ProceduralShapes
+    from esvit_tpu.data.loader import MultiCropIterator
+    from esvit_tpu.evals.knn import run_knn_eval
+    from esvit_tpu.train.step import EsViTTrainer
+
+    crops = config.CropConfig(global_size=32, global_scale=(0.4, 1.0),
+                              local_size=16, local_scale=(0.2, 0.6),
+                              local_crops_number=4)
+    cfg = config.TrainConfig(
+        model=config.swin_femto(drop_path_rate=0.05),
+        head=config.HeadConfig(out_dim=2048, hidden_dim=256,
+                               bottleneck_dim=64, norm_last_layer=False),
+        loss=config.LossConfig(out_dim=2048, use_dense_prediction=True,
+                               warmup_teacher_temp_epochs=3),
+        crops=crops,
+        optim=config.OptimConfig(epochs=20, warmup_epochs=2, lr=4e-3,
+                                 batch_size_per_device=args.batch,
+                                 freeze_last_layer_epochs=1),
+        steps_per_epoch=max(args.steps // 20, 1),
+        dtype=jnp.bfloat16,
+        seed=0,
+    )
+    trainer = EsViTTrainer(cfg, total_batch_size=args.batch)
+
+    train_ds = ProceduralShapes(n=512, size=64, seed=0)
+    val_train = ProceduralShapes(n=256, size=64, seed=7)
+    val_test = ProceduralShapes(n=128, size=64, seed=13)
+
+    B = args.batch
+    example = (jnp.zeros((2 * B, 32, 32, 3), jnp.float32),
+               jnp.zeros((4 * B, 16, 16, 3), jnp.float32))
+    state = trainer.init_state(jax.random.PRNGKey(0), example)
+    step_fn = jax.jit(trainer.train_step)
+
+    def knn_accuracy(params, tag):
+        from esvit_tpu.models.registry import build_backbone
+
+        backbone = build_backbone(cfg.model)
+        variables = {"params": jax.tree.map(jnp.asarray, params["backbone"])}
+        res = run_knn_eval(backbone, variables, val_train, val_test,
+                           ks=(10,), batch_size=32, size=32)
+        t1 = res[10][0]
+        print(f"[{tag}] 10-NN top-1: {t1:.2f}%", flush=True)
+        return t1
+
+    acc_before = knn_accuracy(jax.device_get(state.teacher), "random init")
+
+    rng = jax.random.PRNGKey(1)
+    t0 = time.time()
+    steps_done = 0
+    epoch = 0
+    while steps_done < args.steps:
+        it = MultiCropIterator(train_ds, crops, B, epoch=epoch, seed=0,
+                               host_aug=False, num_threads=4)
+        for batch in it:
+            rng, sub = jax.random.split(rng)
+            state, metrics = step_fn(state, batch, sub)
+            steps_done += 1
+            if steps_done % 50 == 0:
+                print(f"step {steps_done}: loss {float(metrics['loss']):.4f} "
+                      f"({time.time() - t0:.0f}s)", flush=True)
+            if steps_done >= args.steps:
+                break
+        epoch += 1
+
+    acc_after = knn_accuracy(jax.device_get(state.teacher), "trained")
+    print(f"\nresult: {acc_before:.1f}% -> {acc_after:.1f}% "
+          f"({args.steps} steps, {time.time() - t0:.0f}s)", flush=True)
+    assert acc_after > acc_before + 5, (
+        "training did not improve features meaningfully")
+    print("LEARNING VALIDATION PASSED", flush=True)
+
+
+if __name__ == "__main__":
+    main()
