@@ -26,7 +26,10 @@ import numpy as np
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=2000)
-    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--dense", action="store_true",
+                   help="use the region-level (DDINO) task too; the default "
+                        "view-only task shows gains faster at this scale")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
     if args.cpu:
@@ -39,31 +42,34 @@ def main():
     from esvit_tpu.train.step import EsViTTrainer
 
     crops = config.CropConfig(global_size=32, global_scale=(0.4, 1.0),
-                              local_size=16, local_scale=(0.2, 0.6),
+                              local_size=16, local_scale=(0.3, 0.8),
                               local_crops_number=4)
+    epochs = 40
     cfg = config.TrainConfig(
-        model=config.swin_femto(drop_path_rate=0.05),
-        head=config.HeadConfig(out_dim=2048, hidden_dim=256,
+        model=config.swin_femto(drop_path_rate=0.0),
+        head=config.HeadConfig(out_dim=1024, hidden_dim=256,
                                bottleneck_dim=64, norm_last_layer=False),
-        loss=config.LossConfig(out_dim=2048, use_dense_prediction=True,
-                               warmup_teacher_temp_epochs=3),
+        loss=config.LossConfig(out_dim=1024,
+                               use_dense_prediction=args.dense,
+                               warmup_teacher_temp_epochs=5),
         crops=crops,
-        optim=config.OptimConfig(epochs=20, warmup_epochs=2, lr=4e-3,
+        optim=config.OptimConfig(epochs=epochs, warmup_epochs=4, lr=8e-3,
                                  batch_size_per_device=args.batch,
                                  freeze_last_layer_epochs=1),
-        steps_per_epoch=max(args.steps // 20, 1),
+        steps_per_epoch=max(args.steps // epochs, 1),
         dtype=jnp.bfloat16,
         seed=0,
     )
     trainer = EsViTTrainer(cfg, total_batch_size=args.batch)
 
-    train_ds = ProceduralShapes(n=512, size=64, seed=0)
+    train_ds = ProceduralShapes(n=2048, size=64, seed=0)
     val_train = ProceduralShapes(n=256, size=64, seed=7)
     val_test = ProceduralShapes(n=128, size=64, seed=13)
 
     B = args.batch
     example = (jnp.zeros((2 * B, 32, 32, 3), jnp.float32),
-               jnp.zeros((4 * B, 16, 16, 3), jnp.float32))
+               jnp.zeros((crops.local_crops_number * B, 16, 16, 3),
+                         jnp.float32))
     state = trainer.init_state(jax.random.PRNGKey(0), example)
     step_fn = jax.jit(trainer.train_step)
 
