@@ -59,8 +59,19 @@ def sample_rrc_params(rng: random.Random, width: int, height: int,
     return top, left, h, w
 
 
-def random_resized_crop(img: Image.Image, size: int, scale, rng: random.Random):
+def random_resized_crop(img: Image.Image, size: int, scale, rng: random.Random,
+                        use_cv2: bool = False):
     top, left, h, w = sample_rrc_params(rng, img.width, img.height, scale)
+    if use_cv2:
+        # ~2-4x faster crop+resize for the on-device-aug path where host
+        # time is decode+RRC only. cv2's bicubic differs marginally from
+        # PIL's — keep PIL (default) for strict reference parity.
+        import cv2
+        import numpy as np
+
+        arr = np.asarray(img)[top:top + h, left:left + w]
+        out = cv2.resize(arr, (size, size), interpolation=cv2.INTER_CUBIC)
+        return Image.fromarray(out)
     return img.resize((size, size), Image.BICUBIC,
                       box=(left, top, left + w, top + h))
 

@@ -244,7 +244,9 @@ def config_from_args(args) -> config_lib.TrainConfig:
 def main(argv=None):
     args = get_args_parser().parse_args(argv)
     if args.distributed:
-        jax.distributed.initialize()
+        from esvit_tpu.launch import initialize_distributed
+
+        initialize_distributed()
     cfg = config_from_args(args)
     os.makedirs(args.output_dir, exist_ok=True)
     data_kwargs: dict[str, Any] = {}
