@@ -48,6 +48,11 @@ class SwinConfig:
     # 'xla' (default: batched-matmul attention, fastest on current Mosaic —
     # see PERF.md) or 'pallas' (fused VMEM kernel, kept for future tuning).
     attention_impl: str = "xla"
+    # Window-major stage layout: per-block pad/roll/partition copies become
+    # one static gather per layout change. Numerically identical; measured
+    # neutral on v5e (XLA fuses the classic copies equally well — PERF.md),
+    # kept as the substrate for future block-fused kernels.
+    layout_opt: bool = False
     # fp32 matches torch-AMP softmax numerics; bf16 is ~14% faster.
     score_dtype: str = "float32"
 

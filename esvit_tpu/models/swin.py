@@ -132,13 +132,45 @@ class SwinBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True, return_attention: bool = False):
+    def __call__(self, x, deterministic: bool = True,
+                 return_attention: bool = False,
+                 window_major: Optional[dict] = None):
+        """Classic path: x is (B, H*W, C) spatial tokens. Window-major path
+        (window_major = {'mask', 'pad_mask', 'n_windows'}): x is already in
+        this block's window-major layout; partition is a free reshape and
+        the stage driver handles layout transitions (ops/window.py)."""
+        norm1 = LayerNorm(self.norm_eps, self.dtype, name="norm1")
+        attn_mod = WindowAttention(
+            self.dim, self.window_size, self.num_heads,
+            qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+            attn_drop=self.attn_drop, proj_drop=self.drop,
+            attention_impl=self.attention_impl,
+            score_dtype=self.score_dtype, dtype=self.dtype, name="attn")
+        dp = DropPath(self.drop_path, name="drop_path")
+        norm2 = LayerNorm(self.norm_eps, self.dtype, name="norm2")
+        mlp = Mlp(int(self.dim * self.mlp_ratio), drop=self.drop,
+                  dtype=self.dtype, name="mlp")
+
         B, L, C = x.shape
-        H = W = int(math.isqrt(L))
         ws, ss = self.window_size, self.shift_size
 
+        if window_major is not None:
+            shortcut = x
+            y = norm1(x)
+            if window_major["pad_mask"] is not None:
+                y = y * jnp.asarray(window_major["pad_mask"],
+                                    y.dtype)[None, :, None]
+            windows = y.reshape(B * window_major["n_windows"], ws * ws, C)
+            attn_out, attn = attn_mod(windows, window_major["mask"],
+                                      deterministic, return_attention)
+            x = shortcut + dp(attn_out.reshape(B, L, C), deterministic)
+            y = mlp(norm2(x), deterministic)
+            x = x + dp(y, deterministic)
+            return x, attn
+
+        H = W = int(math.isqrt(L))
         shortcut = x
-        x = LayerNorm(self.norm_eps, self.dtype, name="norm1")(x)
+        x = norm1(x)
         x = x.reshape(B, H, W, C)
 
         # Zero-pad (post-norm, like the reference) to a window multiple.
@@ -152,12 +184,8 @@ class SwinBlock(nn.Module):
             mask = wops.shifted_window_mask(H, W, ws, ss)
 
         windows = wops.window_partition(x, ws)              # (B*nW, ws*ws, C)
-        attn_out, attn = WindowAttention(
-            self.dim, ws, self.num_heads, qkv_bias=self.qkv_bias,
-            qk_scale=self.qk_scale, attn_drop=self.attn_drop,
-            proj_drop=self.drop, attention_impl=self.attention_impl,
-            score_dtype=self.score_dtype, dtype=self.dtype, name="attn",
-        )(windows, mask, deterministic, return_attention)
+        attn_out, attn = attn_mod(windows, mask, deterministic,
+                                  return_attention)
 
         x = wops.window_reverse(attn_out, ws, Hp, Wp)
         if ss > 0:
@@ -166,11 +194,8 @@ class SwinBlock(nn.Module):
             x = x[:, :H, :W, :]
         x = x.reshape(B, L, C)
 
-        dp = DropPath(self.drop_path, name="drop_path")
         x = shortcut + dp(x, deterministic)
-        y = LayerNorm(self.norm_eps, self.dtype, name="norm2")(x)
-        y = Mlp(int(self.dim * self.mlp_ratio), drop=self.drop,
-                dtype=self.dtype, name="mlp")(y, deterministic)
+        y = mlp(norm2(x), deterministic)
         x = x + dp(y, deterministic)
         return x, attn
 
@@ -267,8 +292,18 @@ class SwinStage(nn.Module):
             self.merge = PatchMerging(self.dim, self.norm_eps, self.dtype,
                                       name="downsample")
 
-    def __call__(self, x, deterministic: bool = True, capture: Optional[str] = None):
-        """capture: None | 'features' | 'attention' -> aux list per block."""
+    def __call__(self, x, deterministic: bool = True, capture: Optional[str] = None,
+                 layout_opt: bool = True):
+        """capture: None | 'features' | 'attention' -> aux list per block.
+
+        layout_opt: run the whole stage in window-major token order — the
+        per-block pad/roll/partition/reverse copies become one static
+        gather per layout change (ops/window.py). Numerically identical to
+        the classic path (golden parity tests cover both); disabled when
+        capturing (aux consumers expect spatial tokens).
+        """
+        if layout_opt and capture is None and len(self.blocks) > 0:
+            return self._forward_window_major(x, deterministic), []
         aux = []
         for blk in self.blocks:
             x, attn = blk(x, deterministic, return_attention=(capture == "attention"))
@@ -279,6 +314,47 @@ class SwinStage(nn.Module):
         if self.downsample:
             x = self.merge(x)
         return x, aux
+
+    def _forward_window_major(self, x, deterministic: bool):
+        B, L, C = x.shape
+        import math as _math
+
+        H = W = int(_math.isqrt(L))
+        ws = self.blocks[0].window_size
+        Hp, Wp = wops.pad_to_window_multiple(H, W, ws)
+        padded = (Hp, Wp) != (H, W)
+        if padded:
+            x = jnp.pad(x.reshape(B, H, W, C),
+                        ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
+            x = x.reshape(B, Hp * Wp, C)
+        n_windows = (Hp // ws) * (Wp // ws)
+
+        cur: Optional[int] = None                  # current layout shift
+        for blk in self.blocks:
+            t = blk.shift_size
+            if cur is None:
+                perm = wops.window_major_perm(Hp, Wp, ws, t)
+                x = x[:, jnp.asarray(perm), :]
+            elif cur != t:
+                trans = wops.layout_transition(Hp, Wp, ws, cur, t)
+                x = x[:, jnp.asarray(trans), :]
+            cur = t
+            wm = {
+                "mask": (wops.shifted_window_mask(H, W, ws, t) if t > 0
+                         else None),
+                "pad_mask": (wops.pad_token_mask(H, W, Hp, Wp, ws, t)
+                             if padded else None),
+                "n_windows": n_windows,
+            }
+            x, _ = blk(x, deterministic, window_major=wm)
+
+        inv = wops.window_major_inverse(Hp, Wp, ws, cur)
+        x = x[:, jnp.asarray(inv), :]
+        if padded:
+            x = x.reshape(B, Hp, Wp, C)[:, :H, :W, :].reshape(B, L, C)
+        if self.downsample:
+            x = self.merge(x)
+        return x
 
 
 class SwinTransformer(nn.Module):
@@ -342,7 +418,7 @@ class SwinTransformer(nn.Module):
         del bn_train  # no BatchNorm in Swin
         x = self._embed(x, deterministic)
         for stage in self.stages:
-            x, _ = stage(x, deterministic)
+            x, _ = stage(x, deterministic, layout_opt=self.cfg.layout_opt)
         region = self.norm(x)                                # (B, L, C)
         cls = jnp.mean(region, axis=1)                       # (B, C)
         return cls, region

@@ -84,3 +84,52 @@ def pad_to_window_multiple(H: int, W: int, window_size: int) -> tuple[int, int]:
     Hp = int(np.ceil(H / ws)) * ws
     Wp = int(np.ceil(W / ws)) * ws
     return Hp, Wp
+
+
+# ---------------------------------------------------------------------------
+# Window-major token layouts: run a whole Swin stage in window order so
+# per-block partition/roll/reverse copies collapse into (at most) one static
+# gather per block boundary. All permutations are trace-time numpy constants.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def window_major_perm(Hp: int, Wp: int, window_size: int, shift: int
+                      ) -> np.ndarray:
+    """Permutation p with x_window_major = x_spatial_flat[:, p, :]:
+    the token order produced by roll(-shift) then window_partition on the
+    padded (Hp, Wp) grid."""
+    grid = np.arange(Hp * Wp).reshape(Hp, Wp)
+    if shift:
+        grid = np.roll(grid, (-shift, -shift), axis=(0, 1))
+    ws = window_size
+    return grid.reshape(Hp // ws, ws, Wp // ws, ws).transpose(
+        0, 2, 1, 3).reshape(-1)
+
+
+@functools.lru_cache(maxsize=None)
+def window_major_inverse(Hp: int, Wp: int, window_size: int, shift: int
+                         ) -> np.ndarray:
+    return np.argsort(window_major_perm(Hp, Wp, window_size, shift))
+
+
+@functools.lru_cache(maxsize=None)
+def layout_transition(Hp: int, Wp: int, window_size: int, src_shift: int,
+                      dst_shift: int) -> np.ndarray:
+    """Permutation t with x_dst = x_src[:, t, :] between two window-major
+    layouts (src/dst shift amounts)."""
+    inv_src = window_major_inverse(Hp, Wp, window_size, src_shift)
+    perm_dst = window_major_perm(Hp, Wp, window_size, dst_shift)
+    return inv_src[perm_dst]
+
+
+@functools.lru_cache(maxsize=None)
+def pad_token_mask(H: int, W: int, Hp: int, Wp: int, window_size: int,
+                   shift: int) -> np.ndarray:
+    """(Hp*Wp,) float32: 1 for real tokens, 0 for padding, in the
+    window-major layout of (Hp, Wp, shift). Multiplied in after norm1 so
+    padded key/values are zero exactly like the reference's post-norm
+    zero-pad (swin_transformer.py:286-291)."""
+    real = np.zeros((Hp, Wp), np.float32)
+    real[:H, :W] = 1.0
+    return real.reshape(-1)[window_major_perm(Hp, Wp, window_size, shift)]

@@ -135,3 +135,20 @@ def test_swin_selfattention_shapes(rng, np_rng):
     assert attn.shape == (2, 2, 16, 16)
     attns = model.apply(vars_, x, 2, method=model.forward_selfattention)
     assert len(attns) == 4
+
+
+def test_layout_opt_matches_classic(rng, np_rng):
+    """Window-major stage layout must be numerically identical to the
+    classic pad/roll/partition path at both crop resolutions."""
+    m_on = SwinTransformer(config.swin_femto(layout_opt=True))
+    m_off = SwinTransformer(config.swin_femto(layout_opt=False))
+    x32 = jnp.asarray(np_rng.normal(size=(2, 32, 32, 3)), jnp.float32)
+    x16 = jnp.asarray(np_rng.normal(size=(2, 16, 16, 3)), jnp.float32)
+    v = m_on.init({"params": rng}, x32, deterministic=True)
+    for x in (x32, x16):
+        a_cls, a_reg = m_on.apply(v, x, deterministic=True)
+        b_cls, b_reg = m_off.apply(v, x, deterministic=True)
+        np.testing.assert_allclose(np.asarray(a_cls), np.asarray(b_cls),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(a_reg), np.asarray(b_reg),
+                                   rtol=1e-5, atol=1e-6)
