@@ -133,14 +133,22 @@ def knn_classifier(train_f: np.ndarray, train_l: np.ndarray,
 def run_knn_eval(backbone, variables, train_ds, val_ds, *,
                  ks=(10, 20, 100, 200), T: float = 0.07,
                  batch_size: int = 64, size: int = 224,
-                 dump_dir: Optional[str] = None):
-    """Full protocol: extract, (optionally dump), classify at each k."""
-    apply_fn = lambda v, x: backbone.apply(v, x, deterministic=True)
-    train_f, train_l = extract_features(apply_fn, variables, train_ds,
-                                        batch_size=batch_size, size=size)
-    test_f, test_l = extract_features(apply_fn, variables, val_ds,
-                                      batch_size=batch_size, size=size)
-    if dump_dir:
+                 dump_dir: Optional[str] = None,
+                 load_dir: Optional[str] = None):
+    """Full protocol: extract (or load dumped features), optionally dump,
+    classify at each k (ref: eval_knn.py:138-144, 291-295)."""
+    if load_dir:
+        train_f = np.load(os.path.join(load_dir, "trainfeat.npy"))
+        test_f = np.load(os.path.join(load_dir, "testfeat.npy"))
+        train_l = np.load(os.path.join(load_dir, "trainlabels.npy"))
+        test_l = np.load(os.path.join(load_dir, "testlabels.npy"))
+    else:
+        apply_fn = lambda v, x: backbone.apply(v, x, deterministic=True)
+        train_f, train_l = extract_features(apply_fn, variables, train_ds,
+                                            batch_size=batch_size, size=size)
+        test_f, test_l = extract_features(apply_fn, variables, val_ds,
+                                          batch_size=batch_size, size=size)
+    if dump_dir and not load_dir:
         os.makedirs(dump_dir, exist_ok=True)
         np.save(os.path.join(dump_dir, "trainfeat.npy"), train_f)
         np.save(os.path.join(dump_dir, "testfeat.npy"), test_f)
@@ -170,6 +178,7 @@ def main(argv=None):
     p.add_argument("--temperature", default=0.07, type=float)
     p.add_argument("--nb_knn", nargs="+", type=int, default=[10, 20, 100, 200])
     p.add_argument("--dump_features", default="")
+    p.add_argument("--load_features", default="")
     p.add_argument("--output_dir", default="./output")
     args = p.parse_args(argv)
 
@@ -177,14 +186,20 @@ def main(argv=None):
         args.arch, **({"window_size": args.window_size}
                       if args.arch.startswith("swin") else {}))
     backbone = build_backbone(model_cfg)
-    variables = load_backbone_variables(backbone, model_cfg, args.pretrained,
-                                        args.checkpoint_key)
-    train_ds = datasets_lib.build_dataset(args.data_kind, root=args.train_path)
-    val_ds = datasets_lib.build_dataset(args.data_kind, root=args.val_path)
+    if args.load_features:
+        variables = train_ds = val_ds = None
+    else:
+        variables = load_backbone_variables(backbone, model_cfg,
+                                            args.pretrained,
+                                            args.checkpoint_key)
+        train_ds = datasets_lib.build_dataset(args.data_kind,
+                                              root=args.train_path)
+        val_ds = datasets_lib.build_dataset(args.data_kind, root=args.val_path)
     results = run_knn_eval(backbone, variables, train_ds, val_ds,
                            ks=tuple(args.nb_knn), T=args.temperature,
                            batch_size=args.batch_size,
-                           dump_dir=args.dump_features or None)
+                           dump_dir=args.dump_features or None,
+                           load_dir=args.load_features or None)
     os.makedirs(args.output_dir, exist_ok=True)
     with open(os.path.join(args.output_dir, "log.txt"), "a") as f:
         f.write(json.dumps({f"{k}nn_top1": v[0] for k, v in results.items()})

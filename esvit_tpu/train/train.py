@@ -56,7 +56,13 @@ def git_sha() -> str:
 def train(cfg: config_lib.TrainConfig, *, dataset=None, data_kind="synthetic",
           data_kwargs: Optional[dict] = None, host_aug: bool = False,
           resume: bool = True, max_steps: Optional[int] = None,
-          donate: bool = False) -> TrainState:
+          donate: bool = False, profile_dir: Optional[str] = None,
+          init_from: Optional[str] = None) -> TrainState:
+    """profile_dir: capture a jax.profiler trace of the first training
+    epoch (SURVEY.md §5.1 — replaces the reference's wall-clock-only
+    timing). init_from: checkpoint path loaded as INITIALIZATION before
+    local auto-resume, like --pretrained_weights_ckpt
+    (main_esvit.py:442-462, the 'continued_from' recipes)."""
     print(f"git: {git_sha()}", flush=True)
     mesh = mesh_lib.make_mesh(cfg.mesh)
     n_data = mesh.shape[mesh_lib.DATA_AXIS]
@@ -79,6 +85,17 @@ def train(cfg: config_lib.TrainConfig, *, dataset=None, data_kind="synthetic",
     state = mesh_lib.shard_train_state(state, mesh)
 
     ckpt = CheckpointManager(cfg.output_dir)
+    if init_from:
+        # --pretrained_weights_ckpt semantics: load as initialization
+        # (step/optimizer state included when it's one of our checkpoints).
+        init_mgr = CheckpointManager(os.path.dirname(os.path.abspath(init_from)))
+        restored = init_mgr.restore(state, os.path.basename(init_from))
+        if restored is not None:
+            state = mesh_lib.shard_train_state(restored, mesh)
+            print(f"initialized from {init_from} (step {int(state.step)})",
+                  flush=True)
+        else:
+            print(f"WARNING: init_from {init_from} not found", flush=True)
     if resume and ckpt.has_checkpoint():
         restored = ckpt.restore(state)
         if restored is not None:
@@ -105,6 +122,11 @@ def train(cfg: config_lib.TrainConfig, *, dataset=None, data_kind="synthetic",
             return mode_rng.randrange(1, 9), mode_rng.randrange(1, 9)
         return 0, 0
 
+    profiling = False
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+        profiling = True
+
     start_epoch = int(state.step) // steps_per_epoch
     for epoch in range(start_epoch, cfg.optim.epochs):
         logger = MetricLogger()
@@ -119,6 +141,8 @@ def train(cfg: config_lib.TrainConfig, *, dataset=None, data_kind="synthetic",
             batches = synthetic_batches(cfg.crops, B, steps=steps_per_epoch,
                                         seed=cfg.seed + epoch)
 
+        images_per_step = cfg.crops.ncrops * B
+        step_t0 = time.time()
         for batch in logger.log_every(batches, 10, header):
             rng, sub = jax.random.split(rng)
             s_mode, t_mode = modes_for(int(state.step))
@@ -130,11 +154,19 @@ def train(cfg: config_lib.TrainConfig, *, dataset=None, data_kind="synthetic",
                 print(f"Loss is {loss}, stopping training", flush=True)
                 ckpt.save(state, epoch=epoch, force_named=True)
                 sys.exit(1)
+            now = time.time()
             logger.update(loss=loss, lr=float(metrics["lr"]),
-                          wd=float(metrics["wd"]))
+                          wd=float(metrics["wd"]),
+                          grad_norm=float(metrics["grad_norm"]),
+                          img_per_sec=images_per_step / max(now - step_t0, 1e-9))
+            step_t0 = now
             if max_steps is not None and int(state.step) >= max_steps:
                 break
 
+        if profiling:
+            jax.profiler.stop_trace()
+            profiling = False
+            print(f"profiler trace written to {profile_dir}", flush=True)
         print(f"Averaged stats: {logger}", flush=True)
         if jax.process_index() == 0:
             ckpt.save(state, epoch=epoch,
@@ -197,6 +229,11 @@ def get_args_parser():
                    help="tensor-parallel axis size for the DINO head")
     p.add_argument("--bf16", default=True, action=argparse.BooleanOptionalAction)
     p.add_argument("--max_steps", default=None, type=int)
+    p.add_argument("--profile_dir", default="",
+                   help="capture a jax.profiler trace of the first epoch")
+    p.add_argument("--pretrained_weights_ckpt", default="",
+                   help="checkpoint loaded as initialization before local "
+                        "auto-resume (continued_from recipes)")
     p.add_argument("--distributed", default=False,
                    action=argparse.BooleanOptionalAction,
                    help="call jax.distributed.initialize() (multi-host)")
@@ -258,7 +295,9 @@ def main(argv=None):
     elif args.data_kind in ("tsv",):
         data_kwargs = {"tsv_path": args.data_path}
     train(cfg, data_kind=args.data_kind, data_kwargs=data_kwargs,
-          host_aug=args.host_aug, max_steps=args.max_steps)
+          host_aug=args.host_aug, max_steps=args.max_steps,
+          profile_dir=args.profile_dir or None,
+          init_from=args.pretrained_weights_ckpt or None)
 
 
 if __name__ == "__main__":
