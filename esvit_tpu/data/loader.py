@@ -47,7 +47,8 @@ class MultiCropIterator:
                  epoch: int = 0, seed: int = 0, host_aug: bool = False,
                  out_dtype=np.float32, num_threads: int = 4,
                  prefetch: int = 4, process_index: int = 0,
-                 process_count: int = 1, device_rng: Optional[jax.Array] = None):
+                 process_count: int = 1, device_rng: Optional[jax.Array] = None,
+                 sampler_kind: str = "sharded", num_repeats: int = 3):
         self.dataset = dataset
         self.crops = crops
         self.B = batch_size
@@ -62,9 +63,24 @@ class MultiCropIterator:
                 global_size=crops.global_size, global_scale=crops.global_scale,
                 local_size=crops.local_size, local_scale=crops.local_scale,
                 local_crops_number=crops.local_crops_number)
-        self.indices = sharded_indices(
-            len(dataset), epoch=epoch, seed=seed,
-            process_index=process_index, process_count=process_count)
+        if sampler_kind == "sharded":
+            self.indices = sharded_indices(
+                len(dataset), epoch=epoch, seed=seed,
+                process_index=process_index, process_count=process_count)
+        elif sampler_kind == "chunk":
+            from esvit_tpu.data.sampler import chunk_aware_indices
+
+            self.indices = chunk_aware_indices(
+                list(dataset.chunk_sizes), epoch=epoch, seed=seed,
+                process_index=process_index, process_count=process_count)
+        elif sampler_kind == "repeated_aug":
+            from esvit_tpu.data.sampler import repeated_aug_indices
+
+            self.indices = repeated_aug_indices(
+                len(dataset), epoch=epoch, seed=seed, num_repeats=num_repeats,
+                process_index=process_index, process_count=process_count)
+        else:
+            raise ValueError(f"unknown sampler_kind {sampler_kind!r}")
         self.num_threads = num_threads
         self.prefetch = prefetch
 
