@@ -43,6 +43,13 @@ def feature_dim_for(model_cfg, n_last_blocks: int) -> int:
         return sum(dims[-n_last_blocks:])
     if model_cfg.name == "vit":
         return model_cfg.embed_dim * n_last_blocks
+    if model_cfg.name in ("cvt", "vil"):
+        dims = []
+        for s in model_cfg.stages:
+            dims += [s.embed_dim] * s.depth
+        return sum(dims[-n_last_blocks:])
+    if model_cfg.name == "resnet":
+        return model_cfg.num_features        # avgpool only (ref :168-176)
     raise ValueError(f"unknown arch {model_cfg.name}")
 
 

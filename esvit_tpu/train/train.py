@@ -213,6 +213,14 @@ def get_args_parser():
                    default=(0.05, 0.4))
     p.add_argument("--local_crops_number", default=8, type=int)
     p.add_argument("--local_crops_size", default=96, type=int)
+    p.add_argument("--use_mixup", default=False,
+                   action=argparse.BooleanOptionalAction)
+    p.add_argument("--num_mixup_views", default=2, type=int)
+    p.add_argument("--mixup", default=0.8, type=float)
+    p.add_argument("--cutmix", default=1.0, type=float)
+    p.add_argument("--mixup_prob", default=1.0, type=float)
+    p.add_argument("--mixup_switch_prob", default=0.5, type=float)
+    p.add_argument("--smoothing", default=0.0, type=float)
     p.add_argument("--data_kind", default="synthetic",
                    choices=["synthetic", "folder", "zip", "tsv",
                             "composite_tsv", "openimages_tsv"])
@@ -241,6 +249,8 @@ def get_args_parser():
 
 
 def config_from_args(args) -> config_lib.TrainConfig:
+    from esvit_tpu.data.mixup import MixupConfig
+
     model = config_lib.get_model_config(
         args.arch, **({"window_size": args.window_size}
                       if args.arch.startswith("swin") else {}))
@@ -271,6 +281,11 @@ def config_from_args(args) -> config_lib.TrainConfig:
             epochs=args.epochs,
             batch_size_per_device=args.batch_size_per_device),
         mesh=config_lib.MeshConfig(model=args.mesh_model),
+        mixup=(None if not args.use_mixup else MixupConfig(
+            enabled=True, num_mixup_views=args.num_mixup_views,
+            mixup_alpha=args.mixup, cutmix_alpha=args.cutmix,
+            prob=args.mixup_prob, switch_prob=args.mixup_switch_prob,
+            label_smoothing=args.smoothing)),
         seed=args.seed,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         output_dir=args.output_dir,

@@ -91,3 +91,10 @@ def test_knn_end_to_end_tiny_backbone(rng, np_rng):
     assert 5 in res
     t1, t5 = res[5]
     assert 0.0 <= t1 <= 100.0 and 0.0 <= t5 <= 100.0
+
+
+def test_feature_dim_all_archs():
+    assert linear_lib.feature_dim_for(config.cvt_tiny(), 3) == 768 * 2 + 384
+    assert linear_lib.feature_dim_for(config.vil_tiny(), 2) == 384 + 192
+    from esvit_tpu.config import ResNetConfig
+    assert linear_lib.feature_dim_for(ResNetConfig(depth=50), 4) == 2048
