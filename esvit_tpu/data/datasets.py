@@ -204,6 +204,28 @@ class TSVOpenImageDataset:
         return _decode_b64_image(img_row[-1]), label
 
 
+class FileListDataset:
+    """webvision-style filelist: each line ``<relative/path> <label>``
+    (ref: datasets/build.py webvision branch)."""
+
+    def __init__(self, root: str, list_file: str):
+        self.root = root
+        self.samples: list[tuple[str, int]] = []
+        with open(list_file) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) >= 2:
+                    self.samples.append((parts[0], int(parts[1])))
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, i: int):
+        rel, label = self.samples[i]
+        with Image.open(os.path.join(self.root, rel)) as img:
+            return img.convert("RGB"), label
+
+
 class ProceduralShapes:
     """Structured synthetic dataset: colored shapes on noisy backgrounds,
     class = shape type. Gives SSL something learnable without real data —
@@ -271,6 +293,7 @@ def build_dataset(kind: str, **kw):
         "tsv": TSVDataset,
         "composite_tsv": CompositeTSVDataset,
         "openimages_tsv": TSVOpenImageDataset,
+        "filelist": FileListDataset,
         "synthetic": SyntheticImages,
         "shapes": ProceduralShapes,
     }

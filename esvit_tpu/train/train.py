@@ -127,6 +127,23 @@ def train(cfg: config_lib.TrainConfig, *, dataset=None, data_kind="synthetic",
         jax.profiler.start_trace(profile_dir)
         profiling = True
 
+    # Preemption tolerance (SURVEY.md §5.3 TPU plan): TPU maintenance events
+    # deliver SIGTERM; checkpoint at the next step boundary and exit so the
+    # relaunched job resumes losslessly.
+    import signal
+
+    preempted = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        preempted["flag"] = True
+        print("SIGTERM received: checkpointing at next step boundary",
+              flush=True)
+
+    try:
+        signal.signal(signal.SIGTERM, _on_sigterm)
+    except ValueError:
+        pass  # not the main thread (e.g. under some test runners)
+
     start_epoch = int(state.step) // steps_per_epoch
     for epoch in range(start_epoch, cfg.optim.epochs):
         logger = MetricLogger()
@@ -160,6 +177,12 @@ def train(cfg: config_lib.TrainConfig, *, dataset=None, data_kind="synthetic",
                           grad_norm=float(metrics["grad_norm"]),
                           img_per_sec=images_per_step / max(now - step_t0, 1e-9))
             step_t0 = now
+            if preempted["flag"]:
+                if jax.process_index() == 0:
+                    ckpt.save(state, epoch=epoch)
+                print(f"checkpointed at step {int(state.step)}; exiting for "
+                      "preemption", flush=True)
+                sys.exit(0)
             if max_steps is not None and int(state.step) >= max_steps:
                 break
 
@@ -245,6 +268,10 @@ def get_args_parser():
     p.add_argument("--distributed", default=False,
                    action=argparse.BooleanOptionalAction,
                    help="call jax.distributed.initialize() (multi-host)")
+    p.add_argument("--debug_nans", default=False,
+                   action=argparse.BooleanOptionalAction,
+                   help="jax_debug_nans: trap the op producing the first NaN "
+                        "(the TRAIN.DETECT_ANOMALY equivalent)")
     return p
 
 
@@ -295,6 +322,8 @@ def config_from_args(args) -> config_lib.TrainConfig:
 
 def main(argv=None):
     args = get_args_parser().parse_args(argv)
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     if args.distributed:
         from esvit_tpu.launch import initialize_distributed
 

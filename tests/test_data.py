@@ -198,3 +198,16 @@ def test_synthetic_batches():
     assert len(b) == 2
     assert b[0][0].shape == (4, 32, 32, 3)
     assert b[0][1].shape == (6, 16, 16, 3)
+
+
+def test_filelist_dataset(tmp_path, np_rng):
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i in range(3):
+        rand_img(np_rng, 16).save(d / f"im{i}.jpg")
+    lst = tmp_path / "train_filelist.txt"
+    lst.write_text("".join(f"imgs/im{i}.jpg {i % 2}\n" for i in range(3)))
+    ds = datasets.FileListDataset(str(tmp_path), str(lst))
+    assert len(ds) == 3
+    img, label = ds[2]
+    assert img.size == (16, 16) and label == 0
