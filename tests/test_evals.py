@@ -98,3 +98,33 @@ def test_feature_dim_all_archs():
     assert linear_lib.feature_dim_for(config.vil_tiny(), 2) == 384 + 192
     from esvit_tpu.config import ResNetConfig
     assert linear_lib.feature_dim_for(ResNetConfig(depth=50), 4) == 2048
+
+
+def test_knn_vote_matches_reference_math(np_rng):
+    """Exact-math check against a transliteration of the reference's
+    weighted vote (eval_knn.py:192-229: onehot(labels[topk]) . exp(sim/T))."""
+    n_train, n_test, dim, C, k, T = 50, 17, 8, 6, 7, 0.07
+    train_f = np_rng.normal(size=(n_train, dim)).astype(np.float32)
+    train_f /= np.linalg.norm(train_f, axis=1, keepdims=True)
+    test_f = np_rng.normal(size=(n_test, dim)).astype(np.float32)
+    test_f /= np.linalg.norm(test_f, axis=1, keepdims=True)
+    train_l = np_rng.integers(0, C, n_train).astype(np.int32)
+    test_l = np_rng.integers(0, C, n_test).astype(np.int32)
+
+    # numpy transliteration of the reference vote
+    sim = test_f @ train_f.T
+    order = np.argsort(-sim, axis=1)[:, :k]
+    dists = np.take_along_axis(sim, order, axis=1)
+    labels = train_l[order]
+    probs = np.zeros((n_test, C))
+    for i in range(n_test):
+        for j in range(k):
+            probs[i, labels[i, j]] += np.exp(dists[i, j] / T)
+    pred = np.argsort(-probs, axis=1)
+    ref_top1 = 100.0 * (pred[:, 0] == test_l).mean()
+    ref_top5 = 100.0 * (pred[:, :5] == test_l[:, None]).any(1).mean()
+
+    t1, t5 = knn_lib.knn_classifier(train_f, train_l, test_f, test_l,
+                                    k=k, T=T, num_classes=C, chunk=5)
+    np.testing.assert_allclose(t1, ref_top1, atol=1e-9)
+    np.testing.assert_allclose(t5, ref_top5, atol=1e-9)
