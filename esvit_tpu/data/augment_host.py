@@ -129,6 +129,72 @@ class ViewTransform:
         return (x - IMAGENET_MEAN) / IMAGENET_STD  # HWC float32
 
 
+class RandomErasing:
+    """timm-style random erasing, 'pixel' mode: a random rectangle is
+    replaced with gaussian noise (ref: AUG.TIMM_AUG RE_* knobs used by
+    DataAugmentationDEIT, datasets/build.py:265-310)."""
+
+    def __init__(self, prob: float = 0.25, area=(0.02, 1 / 3),
+                 ratio=(0.3, 3.3), count: int = 1):
+        self.prob, self.area, self.ratio, self.count = prob, area, ratio, count
+
+    def __call__(self, x: np.ndarray, rng: random.Random) -> np.ndarray:
+        # x: HWC float array (post-normalize, like timm applies it)
+        if rng.random() >= self.prob:
+            return x
+        h, w, c = x.shape
+        out = x.copy()
+        for _ in range(self.count):
+            for _attempt in range(10):
+                target = rng.uniform(*self.area) * h * w
+                aspect = math.exp(rng.uniform(math.log(self.ratio[0]),
+                                              math.log(self.ratio[1])))
+                eh = int(round(math.sqrt(target * aspect)))
+                ew = int(round(math.sqrt(target / aspect)))
+                if eh < h and ew < w:
+                    top = rng.randint(0, h - eh)
+                    left = rng.randint(0, w - ew)
+                    noise = np.random.default_rng(
+                        rng.getrandbits(32)).normal(size=(eh, ew, c))
+                    out[top:top + eh, left:left + ew] = noise.astype(x.dtype)
+                    break
+        return out
+
+
+class DataAugmentationDEIT:
+    """Supervised-style augmentation (ref: datasets/build.py:265-310, the
+    AUG.TIMM_AUG path): RandomResizedCrop + flip + color jitter + normalize
+    + random erasing. Produces a single view (list of one, mirroring the
+    reference's loader contract). The full timm auto-augment policy search
+    space is intentionally not reproduced — color jitter covers the
+    photometric family used by the EsViT recipes."""
+
+    def __init__(self, size: int = 224, scale=(0.08, 1.0),
+                 color_jitter: float = 0.4, hflip: float = 0.5,
+                 re_prob: float = 0.25, re_count: int = 1):
+        self.size = size
+        self.scale = scale
+        self.color_jitter = color_jitter
+        self.hflip = hflip
+        self.erase = RandomErasing(prob=re_prob, count=re_count)
+
+    def __call__(self, img: Image.Image, rng: random.Random | None = None
+                 ) -> list[np.ndarray]:
+        rng = rng or random.Random()
+        if img.mode != "RGB":
+            img = img.convert("RGB")
+        img = random_resized_crop(img, self.size, self.scale, rng)
+        if rng.random() < self.hflip:
+            img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        if self.color_jitter > 0:
+            img = color_jitter(img, rng, brightness=self.color_jitter,
+                               contrast=self.color_jitter,
+                               saturation=self.color_jitter, hue=0.0)
+        x = np.asarray(img, np.float32) / 255.0
+        x = (x - IMAGENET_MEAN) / IMAGENET_STD
+        return [self.erase(x, rng)]
+
+
 class DataAugmentationDINO:
     """Produces [g1, g2, l1..lN] as HWC float arrays (NHWC batches upstream).
 

