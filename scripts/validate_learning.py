@@ -6,7 +6,10 @@ on-device augmentation, teacher EMA) on a procedural shape dataset for a few
 hundred steps and compares frozen-teacher k-NN accuracy before vs after.
 Passing bar: trained features beat random-init features by a clear margin.
 
-Run: python scripts/validate_learning.py [--steps 2000] [--dense] [--cpu]
+Run: python scripts/validate_learning.py [--steps 2000] [--size nano] [--no-dense]
+
+Validated result (v5e, defaults: nano Swin @64px, dense task, 2000 steps,
+~4 min): k-NN 28.9% -> 53.9% (chance 25%).
 
 Note: at this toy scale k-NN quality is non-monotonic in training length
 (standard small-scale DINO behavior — partial collapse phases before the
@@ -32,9 +35,11 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--batch", type=int, default=64)
-    p.add_argument("--dense", action="store_true",
-                   help="use the region-level (DDINO) task too; the default "
-                        "view-only task shows gains faster at this scale")
+    p.add_argument("--size", choices=["nano", "femto"], default="nano",
+                   help="nano: 3-stage Swin @64px (stronger signal, ~4min); "
+                        "femto: 2-stage @32px (~2min)")
+    p.add_argument("--no-dense", dest="dense", action="store_false",
+                   help="disable the region-level (DDINO) task")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
     if args.cpu:
@@ -46,13 +51,21 @@ def main():
     from esvit_tpu.evals.knn import run_knn_eval
     from esvit_tpu.train.step import EsViTTrainer
 
-    crops = config.CropConfig(global_size=32, global_scale=(0.4, 1.0),
-                              local_size=16, local_scale=(0.3, 0.8),
+    if args.size == "nano":
+        model = config.SwinConfig(img_size=64, patch_size=4, embed_dim=32,
+                                  depths=(2, 2, 2), num_heads=(2, 4, 4),
+                                  window_size=4, drop_path_rate=0.0)
+        g_size, l_size, img_size = 64, 32, 96
+    else:
+        model = config.swin_femto(drop_path_rate=0.0)
+        g_size, l_size, img_size = 32, 16, 64
+    crops = config.CropConfig(global_size=g_size, global_scale=(0.4, 1.0),
+                              local_size=l_size, local_scale=(0.3, 0.8),
                               local_crops_number=4)
-    epochs = 40
+    epochs = 20
     cfg = config.TrainConfig(
-        model=config.swin_femto(drop_path_rate=0.0),
-        head=config.HeadConfig(out_dim=1024, hidden_dim=256,
+        model=model,
+        head=config.HeadConfig(out_dim=1024, hidden_dim=512,
                                bottleneck_dim=64, norm_last_layer=False),
         loss=config.LossConfig(out_dim=1024,
                                use_dense_prediction=args.dense,
@@ -67,13 +80,13 @@ def main():
     )
     trainer = EsViTTrainer(cfg, total_batch_size=args.batch)
 
-    train_ds = ProceduralShapes(n=2048, size=64, seed=0)
-    val_train = ProceduralShapes(n=256, size=64, seed=7)
-    val_test = ProceduralShapes(n=128, size=64, seed=13)
+    train_ds = ProceduralShapes(n=4096, size=img_size, seed=0)
+    val_train = ProceduralShapes(n=256, size=img_size, seed=7)
+    val_test = ProceduralShapes(n=128, size=img_size, seed=13)
 
     B = args.batch
-    example = (jnp.zeros((2 * B, 32, 32, 3), jnp.float32),
-               jnp.zeros((crops.local_crops_number * B, 16, 16, 3),
+    example = (jnp.zeros((2 * B, g_size, g_size, 3), jnp.float32),
+               jnp.zeros((crops.local_crops_number * B, l_size, l_size, 3),
                          jnp.float32))
     state = trainer.init_state(jax.random.PRNGKey(0), example)
     step_fn = jax.jit(trainer.train_step)
@@ -84,7 +97,7 @@ def main():
         backbone = build_backbone(cfg.model)
         variables = {"params": jax.tree.map(jnp.asarray, params["backbone"])}
         res = run_knn_eval(backbone, variables, val_train, val_test,
-                           ks=(10,), batch_size=32, size=32)
+                           ks=(10,), batch_size=32, size=g_size)
         t1 = res[10][0]
         print(f"[{tag}] 10-NN top-1: {t1:.2f}%", flush=True)
         return t1
