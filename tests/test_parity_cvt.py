@@ -127,3 +127,38 @@ def test_cvt_train_step_with_batchnorm(np_rng):
                   some_mean(state.student_state)).max() > 0
     assert np.abs(some_mean(state1.teacher_state) -
                   some_mean(state.teacher_state)).max() > 0
+
+
+def test_cvt_syncbn_sharded_matches_single_device(np_rng):
+    """BN batch stats under a sharded batch must equal the single-device
+    (global-batch) stats — the SyncBN guarantee (main_esvit.py:367-372)."""
+    import numpy as np
+    from esvit_tpu.parallel import mesh as mesh_lib
+    from esvit_tpu.train.step import EsViTTrainer
+
+    cfg = config.TrainConfig(
+        model=config.cvt_femto(),
+        head=config.HeadConfig(out_dim=16, hidden_dim=8, bottleneck_dim=4),
+        loss=config.LossConfig(out_dim=16, use_dense_prediction=True),
+        optim=config.OptimConfig(epochs=2, warmup_epochs=0),
+        steps_per_epoch=2, dtype=jnp.float32)
+    trainer = EsViTTrainer(cfg, total_batch_size=16)
+    batch = (jnp.asarray(np_rng.normal(size=(16, 32, 32, 3)), jnp.float32),
+             jnp.asarray(np_rng.normal(size=(24, 16, 16, 3)), jnp.float32))
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    step = jax.jit(trainer.train_step)
+    ref_state, ref_m = step(state, batch, jax.random.PRNGKey(1))
+
+    mesh = mesh_lib.make_mesh(config.MeshConfig(data=8, model=1))
+    sstate = mesh_lib.shard_train_state(state, mesh)
+    sbatch = tuple(jax.device_put(b, mesh_lib.batch_sharding(mesh))
+                   for b in batch)
+    got_state, got_m = step(sstate, sbatch, jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(float(got_m["loss"]), float(ref_m["loss"]),
+                               rtol=1e-5)
+    # BN means updated identically (global-batch statistics, not per-shard)
+    a = jax.tree.leaves(got_state.student_state["batch_stats"])[0]
+    b = jax.tree.leaves(ref_state.student_state["batch_stats"])[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-7)
