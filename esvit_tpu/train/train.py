@@ -165,16 +165,18 @@ def train(cfg: config_lib.TrainConfig, *, dataset=None, data_kind="synthetic",
             s_mode, t_mode = modes_for(int(state.step))
             state, metrics = step_fn(state, shard_batch(batch, mesh), sub,
                                      mode=s_mode, teacher_mode=t_mode)
-            loss = float(metrics["loss"])
+            # One host transfer for all metrics (per-scalar fetches cost a
+            # full round trip each on remote-tunnel backends).
+            m = jax.device_get(metrics)
+            loss = float(m["loss"])
             if not math.isfinite(loss):
                 # NaN guard (main_esvit.py:546-562): dump debug ckpt, exit.
                 print(f"Loss is {loss}, stopping training", flush=True)
                 ckpt.save(state, epoch=epoch, force_named=True)
                 sys.exit(1)
             now = time.time()
-            logger.update(loss=loss, lr=float(metrics["lr"]),
-                          wd=float(metrics["wd"]),
-                          grad_norm=float(metrics["grad_norm"]),
+            logger.update(loss=loss, lr=float(m["lr"]), wd=float(m["wd"]),
+                          grad_norm=float(m["grad_norm"]),
                           img_per_sec=images_per_step / max(now - step_t0, 1e-9))
             step_t0 = now
             if preempted["flag"]:
