@@ -8,8 +8,8 @@ Passing bar: trained features beat random-init features by a clear margin.
 
 Run: python scripts/validate_learning.py [--steps 2000] [--size nano] [--no-dense]
 
-Validated result (v5e, defaults: nano Swin @64px, dense task, 2000 steps,
-~4 min): k-NN 28.9% -> 53.9% (chance 25%).
+Validated results (v5e, nano Swin @64px, dense task, chance 25%):
+2000 steps (~5 min): k-NN 39.8% -> 53.1%; 3000 steps (~8 min): -> 60.2%.
 
 Note: at this toy scale k-NN quality is non-monotonic in training length
 (standard small-scale DINO behavior — partial collapse phases before the
