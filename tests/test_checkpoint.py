@@ -7,7 +7,10 @@ import numpy as np
 from esvit_tpu import config
 from esvit_tpu.io.checkpoint import CheckpointManager
 from esvit_tpu.train.step import EsViTTrainer
+import pytest
 
+
+pytestmark = pytest.mark.slow
 
 def tiny_trainer():
     cfg = config.TrainConfig(

@@ -11,7 +11,10 @@ from esvit_tpu.evals.knn import load_backbone_variables, run_knn_eval
 from esvit_tpu.io.checkpoint import CheckpointManager
 from esvit_tpu.models.registry import build_backbone
 from esvit_tpu.train.step import EsViTTrainer
+import pytest
 
+
+pytestmark = pytest.mark.slow
 
 def test_orbax_checkpoint_to_knn_eval(tmp_path, np_rng):
     cfg = config.TrainConfig(

@@ -19,8 +19,8 @@ from esvit_tpu import config, losses
 from esvit_tpu.io import torch_import
 from esvit_tpu.models.esvit import EsViTModel
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir("/root/reference"), reason="reference tree not mounted")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
+    not os.path.isdir("/root/reference"), reason="reference tree not mounted")]
 
 from tests import ref_compat  # noqa: E402
 

@@ -13,6 +13,8 @@ from esvit_tpu import config
 from esvit_tpu.train import train as train_lib
 
 
+pytestmark = pytest.mark.slow
+
 def tiny_cfg(tmp_path):
     return config.TrainConfig(
         model=config.swin_femto(),

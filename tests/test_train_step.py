@@ -10,6 +10,8 @@ from esvit_tpu.parallel import mesh as mesh_lib
 from esvit_tpu.train.step import EsViTTrainer
 
 
+pytestmark = pytest.mark.slow
+
 def tiny_cfg(dense=True):
     return config.TrainConfig(
         model=config.swin_femto(),
