@@ -122,9 +122,16 @@ class MultiCropIterator:
                 except queue.Empty:
                     return
                 batch_idx = self.indices[b * B:(b + 1) * B]
+                # Seed by within-epoch POSITION as well as index: with
+                # sampler_kind='repeated_aug' the same index appears
+                # num_repeats times per epoch and must draw DISTINCT
+                # augmentations (reference RASampler semantics,
+                # datasets/samplers.py) — an (seed, epoch, index)-only seed
+                # would make all repeats byte-identical.
                 views = [self._sample_views(
-                    i, (self.seed, self.epoch, int(i)).__hash__() & 0x7FFFFFFF)
-                    for i in batch_idx]
+                    i, hash((self.seed, self.epoch, int(i), b * B + s))
+                    & 0x7FFFFFFF)
+                    for s, i in enumerate(batch_idx)]
                 out = self._assemble(views)
                 with done_lock:
                     done[b] = out

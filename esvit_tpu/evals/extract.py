@@ -1,0 +1,123 @@
+"""Shared feature-extraction machinery for the evals.
+
+Fixes two round-1 weaknesses (VERDICT.md "What's weak" #2/#3):
+
+- **Multi-host correctness**: each process extracts a disjoint *strided*
+  shard ``indices[process_index::process_count]`` and the shards are merged
+  back into dataset order after an all-gather, so every index is computed
+  exactly once (the reference shards with a DistributedSampler and gathers
+  per batch, eval_knn.py:148-189 — one padded gather at the end is the
+  batched equivalent).
+- **Host throughput**: JPEG decode + resize runs on a thread pool with a
+  bounded batch lookahead, overlapping host preprocessing with the device
+  forward (the reference gets this from DataLoader workers,
+  eval_knn.py:60-78).
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Iterator, Sequence
+
+import jax
+import numpy as np
+
+
+def strided_shard(n: int, process_index: int, process_count: int) -> np.ndarray:
+    """This process's dataset indices: disjoint, union covers range(n)."""
+    return np.arange(process_index, n, process_count)
+
+
+def pad_shard(x: np.ndarray, per: int, fill=0) -> np.ndarray:
+    """Pad a shard's leading dim to ``per`` rows so all-gather shapes agree."""
+    if len(x) == per:
+        return x
+    pad = np.full((per - len(x),) + x.shape[1:], fill, x.dtype)
+    return np.concatenate([x, pad])
+
+
+def merge_strided_shards(shards: np.ndarray, n: int) -> np.ndarray:
+    """Inverse of strided_shard after a padded all-gather.
+
+    shards: (process_count, ceil(n / process_count), ...) — process p's rows
+    are the features of indices p, p+P, p+2P, ... Returns (n, ...) in
+    dataset order, each index appearing exactly once.
+    """
+    pc = shards.shape[0]
+    out = np.empty((n,) + shards.shape[2:], shards.dtype)
+    for p in range(pc):
+        ids = np.arange(p, n, pc)
+        out[ids] = shards[p, :len(ids)]
+    return out
+
+
+def iter_batches(dataset, indices: Sequence[int],
+                 transform: Callable[[object], np.ndarray],
+                 batch_size: int, *, num_threads: int = 8,
+                 lookahead: int = 2) -> Iterator[tuple[np.ndarray, np.ndarray, int]]:
+    """Yield (images (B, ...), labels (B,), n_real) batches.
+
+    Decodes with a thread pool and keeps ``lookahead`` batches in flight so
+    host work overlaps the consumer's device work. The final batch is
+    zero-padded to ``batch_size`` (n_real < batch_size marks the padding).
+    """
+    def load(i):
+        img, label = dataset[int(i)]
+        return transform(img), label
+
+    chunks = [indices[s:s + batch_size]
+              for s in range(0, len(indices), batch_size)]
+    with ThreadPoolExecutor(max_workers=num_threads) as ex:
+        pending = []
+        for c in chunks[:lookahead]:
+            pending.append([ex.submit(load, i) for i in c])
+        for ci in range(len(chunks)):
+            if ci + lookahead < len(chunks):
+                pending.append([ex.submit(load, i)
+                                for i in chunks[ci + lookahead]])
+            futs = pending.pop(0)
+            pairs = [f.result() for f in futs]
+            x = np.stack([p[0] for p in pairs])
+            y = np.asarray([p[1] for p in pairs], np.int32)
+            n = len(pairs)
+            if n < batch_size:
+                x = pad_shard(x, batch_size)
+                y = pad_shard(y, batch_size, fill=-1)
+            yield x, y, n
+
+
+def extract_dataset_features(fwd: Callable[[np.ndarray], np.ndarray],
+                             dataset, transform, *, batch_size: int = 64,
+                             num_threads: int = 8) -> tuple[np.ndarray, np.ndarray]:
+    """(features (N, C) f32, labels (N,) i32) in dataset order.
+
+    fwd: batched image array -> feature array (jitted by the caller).
+    Multi-process: each host computes its strided shard; results are
+    all-gathered and merged so every host returns the identical full set.
+    """
+    n = len(dataset)
+    pi, pc = jax.process_index(), jax.process_count()
+    my = strided_shard(n, pi, pc)
+
+    feats, labels = [], []
+    for x, y, n_real in iter_batches(dataset, my, transform, batch_size,
+                                     num_threads=num_threads):
+        f = np.asarray(fwd(x), np.float32)[:n_real]
+        feats.append(f)
+        labels.append(y[:n_real])
+    f = (np.concatenate(feats) if feats
+         else np.zeros((0, 1), np.float32))
+    lab = (np.concatenate(labels) if labels
+           else np.zeros((0,), np.int32))
+
+    if pc > 1:
+        from jax.experimental import multihost_utils
+
+        per = -(-n // pc)                       # ceil: max shard length
+        fall = np.asarray(multihost_utils.process_allgather(
+            pad_shard(f, per)))                  # (pc, per, C)
+        lall = np.asarray(multihost_utils.process_allgather(
+            pad_shard(lab, per, fill=-1)))       # (pc, per)
+        f = merge_strided_shards(fall, n)
+        lab = merge_strided_shards(lall, n)
+    return f, lab

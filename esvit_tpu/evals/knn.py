@@ -19,7 +19,7 @@ import functools
 import json
 import os
 import time
-from typing import Iterable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -46,51 +46,21 @@ def eval_transform(img: Image.Image, size: int = 224) -> np.ndarray:
 
 
 def extract_features(apply_fn, variables, dataset, *, batch_size: int = 64,
-                     size: int = 224, dtype=jnp.float32):
-    """(features (N, C) L2-normalized f32, labels (N,)) for a dataset."""
-    fwd = jax.jit(lambda v, x: apply_fn(v, x)[0])
-    feats, labels = [], []
-    buf, lab = [], []
+                     size: int = 224, dtype=jnp.float32,
+                     num_threads: int = 8):
+    """(features (N, C) L2-normalized f32, labels (N,)) for a dataset.
 
-    def flush():
-        if not buf:
-            return
-        n = len(buf)
-        x = np.stack(buf)
-        if n < batch_size:          # pad to the compiled shape
-            x = np.concatenate(
-                [x, np.zeros((batch_size - n,) + x.shape[1:], x.dtype)])
-        f = np.asarray(fwd(variables, jnp.asarray(x, dtype)), np.float32)[:n]
-        feats.append(f)
-        labels.extend(lab)
-        buf.clear()
-        lab.clear()
+    Threaded decode + per-process strided sharding + exact-once multi-host
+    merge (evals/extract.py; ref eval_knn.py:148-189)."""
+    from esvit_tpu.evals.extract import extract_dataset_features
 
-    for img, label in _iter_dataset(dataset):
-        buf.append(eval_transform(img, size))
-        lab.append(label)
-        if len(buf) == batch_size:
-            flush()
-    flush()
-    f = np.concatenate(feats) if feats else np.zeros((0, 1), np.float32)
-    lab_arr = np.asarray(labels, np.int32)
-    if jax.process_count() > 1:
-        # Multi-host: gather every process's shard (the reference
-        # all_gathers per batch, eval_knn.py:164-181; one gather at the end
-        # is equivalent with equal shards from sharded_indices).
-        from jax.experimental import multihost_utils
-
-        f = np.asarray(multihost_utils.process_allgather(f)).reshape(
-            -1, f.shape[-1])
-        lab_arr = np.asarray(
-            multihost_utils.process_allgather(lab_arr)).reshape(-1)
+    jfwd = jax.jit(lambda v, x: apply_fn(v, x)[0])
+    fwd = lambda x: jfwd(variables, jnp.asarray(x, dtype))
+    f, lab_arr = extract_dataset_features(
+        fwd, dataset, lambda img: eval_transform(img, size),
+        batch_size=batch_size, num_threads=num_threads)
     f /= np.maximum(np.linalg.norm(f, axis=1, keepdims=True), 1e-12)
     return f, lab_arr
-
-
-def _iter_dataset(dataset) -> Iterable:
-    for i in range(len(dataset)):
-        yield dataset[i]
 
 
 @functools.partial(jax.jit, static_argnames=("k", "num_classes", "T"))

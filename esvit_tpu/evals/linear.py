@@ -6,11 +6,18 @@ of avg-pooled outputs of the ``n_last_blocks`` (default 4) last blocks via
 SGD momentum 0.9, zero weight decay, lr scaled by batch/256 and
 cosine-annealed; top-1/top-5 on center-crop val.
 
-TPU-native: the backbone forward and the probe update are two jitted
-functions; features can optionally be precomputed once and the probe then
-trains from cached features (far faster than the reference's per-epoch
-frozen forward, and numerically identical because the backbone is frozen
-and eval-mode deterministic).
+Two training modes:
+
+- **Reference protocol (default)**: each epoch re-forwards the frozen
+  backbone on freshly RandomResizedCrop(224)+HorizontalFlip-augmented
+  images (ref eval_linear.py:50-55 train_transform, :244-262 train loop).
+  This is the published recipe — the one that reproduces the README table.
+- **Cached (``cached_features=True``)**: center-crop features are extracted
+  once and the probe trains on the cache. Much faster but NOT the reference
+  protocol (no train-time augmentation; typically ~0.5-1% lower top-1).
+
+Both are jitted end-to-end; val features are always cached (the val
+transform is deterministic, so caching is numerically identical).
 """
 
 from __future__ import annotations
@@ -54,34 +61,16 @@ def feature_dim_for(model_cfg, n_last_blocks: int) -> int:
 
 
 def extract_probe_features(backbone, variables, dataset, *, n_last_blocks=4,
-                           batch_size=64, size=224):
-    fwd = jax.jit(lambda v, x: backbone.apply(
+                           batch_size=64, size=224, num_threads=8):
+    """Center-crop n-last-blocks features (threaded, multi-host-correct)."""
+    from esvit_tpu.evals.extract import extract_dataset_features
+
+    jfwd = jax.jit(lambda v, x: backbone.apply(
         v, x, n_last_blocks, method=backbone.forward_return_n_last_blocks))
-    feats, labels = [], []
-    buf, lab = [], []
-
-    def flush():
-        if not buf:
-            return
-        n = len(buf)
-        x = np.stack(buf)
-        if n < batch_size:
-            x = np.concatenate(
-                [x, np.zeros((batch_size - n,) + x.shape[1:], x.dtype)])
-        f = np.asarray(fwd(variables, jnp.asarray(x)), np.float32)[:n]
-        feats.append(f)
-        labels.extend(lab)
-        buf.clear()
-        lab.clear()
-
-    for i in range(len(dataset)):
-        img, label = dataset[i]
-        buf.append(eval_transform(img, size))
-        lab.append(label)
-        if len(buf) == batch_size:
-            flush()
-    flush()
-    return np.concatenate(feats), np.asarray(labels, np.int32)
+    return extract_dataset_features(
+        lambda x: jfwd(variables, jnp.asarray(x)), dataset,
+        lambda img: eval_transform(img, size),
+        batch_size=batch_size, num_threads=num_threads)
 
 
 def train_linear_probe(train_f, train_l, test_f, test_l, *, num_classes=None,

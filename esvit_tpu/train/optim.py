@@ -28,13 +28,21 @@ import optax
 from esvit_tpu.config import OptimConfig
 
 
-def wd_mask(params: Any) -> Any:
+def wd_mask(params: Any, decay_scale_g: bool = False) -> Any:
     """True for weight-decayed leaves: ndim > 1 and name isn't a bias.
     Mirrors get_params_groups (utils.py:672-683): biases and all 1-D params
     (LayerNorm scales, rel-pos tables are 2-D and *are* decayed there too —
-    same here)."""
+    same here).
+
+    decay_scale_g: the DINO-head weight-norm gain is stored (out,) here but
+    is the reference's 2-D ``weight_g`` (out, 1), which get_params_groups
+    decays whenever it is trainable (norm_last_layer=False, this repo's CLI
+    default). When norm_last_layer=True torch sets requires_grad=False and
+    the param never enters a group, so it must NOT be decayed either."""
     def f(path, x):
         name = getattr(path[-1], "key", str(path[-1]))
+        if name == "scale_g":
+            return decay_scale_g
         return x.ndim > 1 and not name.endswith("bias")
     return jax.tree_util.tree_map_with_path(f, params)
 
@@ -64,9 +72,10 @@ def per_param_clip(clip: float) -> optax.GradientTransformation:
 
 
 def make_optimizer(cfg: OptimConfig, params: Any,
-                   lr_fn: Callable, wd_fn: Callable) -> optax.GradientTransformation:
+                   lr_fn: Callable, wd_fn: Callable,
+                   decay_scale_g: bool = False) -> optax.GradientTransformation:
     """Build the full chain. lr_fn/wd_fn: step -> value (traced-friendly)."""
-    decay_mask = wd_mask(params)
+    decay_mask = wd_mask(params, decay_scale_g=decay_scale_g)
 
     if cfg.optimizer == "adamw":
         def make_opt(lr, wd):

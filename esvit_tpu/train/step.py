@@ -94,8 +94,10 @@ class EsViTTrainer:
         )
 
     def make_optimizer(self, params):
-        return optim_lib.make_optimizer(self.cfg.optim, params,
-                                        self.lr_fn, self.wd_fn)
+        return optim_lib.make_optimizer(
+            self.cfg.optim, params, self.lr_fn, self.wd_fn,
+            # weight_g is a regular decayed param in torch when trainable.
+            decay_scale_g=not self.cfg.head.norm_last_layer)
 
     # ---------------------------------------------------------------- step
     def train_step(self, state: TrainState, batch, rng: jax.Array,

@@ -33,8 +33,16 @@ from esvit_tpu.utils.metrics import MetricLogger, append_log
 
 
 def shard_batch(batch, mesh):
+    """Single host: device_put onto the data axis. Multi-host: each host
+    holds only its B/P slice of the global batch, so the global array is
+    assembled from per-process shards (the DistributedSampler contract,
+    ref main_esvit.py:273-286 — each rank loads a disjoint shard)."""
     sh = mesh_lib.batch_sharding(mesh)
-    return tuple(jax.device_put(b, sh) for b in batch)
+    if jax.process_count() == 1:
+        return tuple(jax.device_put(b, sh) for b in batch)
+    return tuple(
+        jax.make_array_from_process_local_data(sh, np.asarray(b))
+        for b in batch)
 
 
 def git_sha() -> str:
@@ -66,12 +74,20 @@ def train(cfg: config_lib.TrainConfig, *, dataset=None, data_kind="synthetic",
     print(f"git: {git_sha()}", flush=True)
     mesh = mesh_lib.make_mesh(cfg.mesh)
     n_data = mesh.shape[mesh_lib.DATA_AXIS]
-    B = cfg.optim.batch_size_per_device * n_data   # global per-view batch
+    B = cfg.optim.batch_size_per_device * n_data   # GLOBAL per-view batch
     total_batch = B
+    n_proc = jax.process_count()
+    if B % n_proc:
+        raise ValueError(f"global batch {B} not divisible by "
+                         f"{n_proc} processes")
+    B_local = B // n_proc   # samples this host decodes + feeds per step
 
     if dataset is None and data_kind != "synthetic_device":
         dataset = datasets_lib.build_dataset(data_kind, **(data_kwargs or {}))
-    steps_per_epoch = (len(dataset) // (B * jax.process_count())
+    # One epoch = len(dataset) samples globally; each host walks a disjoint
+    # 1/n_proc shard of B_local samples per step, so every host agrees on
+    # len // B steps (DistributedSampler semantics).
+    steps_per_epoch = (len(dataset) // B
                        if dataset is not None and hasattr(dataset, "__len__")
                        and len(dataset) >= B else cfg.steps_per_epoch)
     steps_per_epoch = max(steps_per_epoch, 1)
@@ -150,12 +166,13 @@ def train(cfg: config_lib.TrainConfig, *, dataset=None, data_kind="synthetic",
         header = f"Epoch: [{epoch}/{cfg.optim.epochs}]"
         if dataset is not None:
             it = MultiCropIterator(
-                dataset, cfg.crops, B, epoch=epoch, seed=cfg.seed,
+                dataset, cfg.crops, B_local, epoch=epoch, seed=cfg.seed,
                 host_aug=host_aug, process_index=jax.process_index(),
                 process_count=jax.process_count())
             batches = iter(it)
         else:
-            batches = synthetic_batches(cfg.crops, B, steps=steps_per_epoch,
+            batches = synthetic_batches(cfg.crops, B_local,
+                                        steps=steps_per_epoch,
                                         seed=cfg.seed + epoch)
 
         images_per_step = cfg.crops.ncrops * B
@@ -172,7 +189,8 @@ def train(cfg: config_lib.TrainConfig, *, dataset=None, data_kind="synthetic",
             if not math.isfinite(loss):
                 # NaN guard (main_esvit.py:546-562): dump debug ckpt, exit.
                 print(f"Loss is {loss}, stopping training", flush=True)
-                ckpt.save(state, epoch=epoch, force_named=True)
+                if jax.process_index() == 0:
+                    ckpt.save(state, epoch=epoch, force_named=True)
                 sys.exit(1)
             now = time.time()
             logger.update(loss=loss, lr=float(m["lr"]), wd=float(m["wd"]),

@@ -193,6 +193,26 @@ def test_multicrop_iterator(host_aug, np_rng):
     assert np.all(np.isfinite(np.asarray(g, np.float32)))
 
 
+def test_repeated_aug_draws_distinct_augmentations(np_rng):
+    """ADVICE r1: with sampler_kind='repeated_aug' the num_repeats
+    occurrences of an image within an epoch must get DIFFERENT crops
+    (reference RASampler feeds the same index through an aug pipeline whose
+    RNG advances per draw)."""
+    ds = datasets.SyntheticImages(n=4, size=40)
+    it = MultiCropIterator(ds, CROPS, batch_size=12, host_aug=True,
+                           num_threads=1, sampler_kind="repeated_aug",
+                           num_repeats=3)
+    idx = list(it.indices[:12])
+    (g, _loc) = next(iter(it))          # g: (2B, 32, 32, 3), first B = view g1
+    by_index = {}
+    for slot, i in enumerate(idx):
+        by_index.setdefault(int(i), []).append(np.asarray(g[slot]))
+    repeats = [v for v in by_index.values() if len(v) >= 2]
+    assert repeats, "sampler produced no repeated indices"
+    assert any(not np.array_equal(v[0], v[1]) for v in repeats), \
+        "all repeats of an index were augmented byte-identically"
+
+
 def test_synthetic_batches():
     b = list(synthetic_batches(CROPS, 2, steps=2))
     assert len(b) == 2

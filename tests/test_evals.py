@@ -136,3 +136,44 @@ def test_knn_vote_matches_reference_math(np_rng):
     clear = (kth_gap > 1e-4) & (vote_gap > 1e-4)
     assert clear.sum() >= n_test - 3
     np.testing.assert_array_equal(ranked[clear, 0], ref_pred[clear, 0])
+
+
+# ------------------------------------------------------- sharded extraction
+def test_strided_shards_cover_exactly_once():
+    """VERDICT r1 #5: multi-host extraction must compute each index exactly
+    once; shards are disjoint, padded-gathered, merged back in order."""
+    from esvit_tpu.evals import extract
+
+    for n, pc in [(11, 3), (8, 2), (5, 8), (6, 1)]:
+        all_ids = np.concatenate(
+            [extract.strided_shard(n, p, pc) for p in range(pc)])
+        assert sorted(all_ids.tolist()) == list(range(n))
+
+        per = -(-n // pc)
+        # features = the index itself -> merged output must be arange(n)
+        shards = np.stack([
+            extract.pad_shard(
+                extract.strided_shard(n, p, pc).astype(np.float32)[:, None],
+                per)
+            for p in range(pc)])                       # (pc, per, 1)
+        merged = extract.merge_strided_shards(shards, n)
+        np.testing.assert_array_equal(merged[:, 0], np.arange(n, dtype=np.float32))
+
+
+def test_extract_dataset_features_threaded_order(np_rng):
+    """Threaded batched extraction preserves dataset order and drops padding."""
+    from esvit_tpu.evals import extract
+
+    class ToyDS:
+        def __len__(self):
+            return 13
+
+        def __getitem__(self, i):
+            return np.full((4, 4, 3), i, np.float32), i % 5
+
+    fwd = lambda x: x.reshape(x.shape[0], -1)[:, :2]   # identity-ish
+    f, lab = extract.extract_dataset_features(
+        fwd, ToyDS(), lambda a: a, batch_size=4, num_threads=3)
+    assert f.shape == (13, 2) and lab.shape == (13,)
+    np.testing.assert_array_equal(f[:, 0], np.arange(13, dtype=np.float32))
+    np.testing.assert_array_equal(lab, np.arange(13) % 5)
