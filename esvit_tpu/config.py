@@ -55,6 +55,10 @@ class SwinConfig:
     layout_opt: bool = False
     # fp32 matches torch-AMP softmax numerics; bf16 is ~14% faster.
     score_dtype: str = "float32"
+    # Gradient rematerialization: 'none' | 'block' (nn.remat each Swin
+    # block: saves only block inputs, recomputes activations in backward —
+    # trades ~1/3 more FLOPs for less HBM residual traffic).
+    remat: str = "none"
 
     name: str = "swin"
 
@@ -149,6 +153,12 @@ class ViLConfig:
     # neighbor chunk (memory saver); afterwards full 8-neighbor attention.
     mode: int = 0
     mode_switch: float = 0.5
+    # Reference fidelity knob (longformer2d.py:151): the reference samples
+    # the neighbor chunk independently PER LAYER per forward; by default we
+    # sample once per net per step (one jit variant per mode). True restores
+    # per-layer draws via a traced lax.switch over the 8 neighbor variants
+    # (mode sentinel PER_LAYER_MODE, rng stream 'vil_mode').
+    per_layer_mode: bool = False
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
     drop_rate: float = 0.0
@@ -238,6 +248,11 @@ class OptimConfig:
     freeze_last_layer_epochs: int = 1
     epochs: int = 300
     batch_size_per_device: int = 32
+    # Freeze named parameter subtrees for the whole run — the finetune
+    # recipes' FINETUNE.FROZEN_LAYERS (ref swin_transformer.py:919-943
+    # freeze_pretrained_layers). Keys of our param tree ('patch_embed',
+    # 'layers_0', 'layers_0/blocks_1') or '*'; ref-style dots accepted.
+    frozen_layers: tuple = ()
 
 
 @dataclass(frozen=True)

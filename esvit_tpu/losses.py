@@ -115,12 +115,19 @@ def ddino_loss(student_out, teacher_out, centers: DinoCenters,
     t_cls = jax.nn.softmax(
         (t_cls_out.astype(jnp.float32) - centers.center[None]) / teacher_temp, axis=-1)
     t_cls = jax.lax.stop_gradient(_chunk_views(t_cls, 2))
+    # Batch-major layouts for everything entering a b-batched contraction:
+    # TPU dot_generals want the batch dim physically leading, and hoisting
+    # the one row permutation here (fused into the softmax / slice) removes
+    # XLA's repeated multi-hundred-MB relayout copies of the (rows, K)
+    # tensors around each einsum (PERF.md round 2 profile).
     t_region = jax.nn.softmax(
         (t_region_out.astype(jnp.float32) - centers.center_grid[None]) / teacher_temp,
         axis=-1)
-    t_region = jax.lax.stop_gradient(t_region.reshape(2, B, N_t, -1))
+    t_region = jax.lax.stop_gradient(
+        t_region.reshape(2, B, N_t, -1).transpose(1, 0, 2, 3))   # (B,2,Nt,K)
     t_fea_v = jax.lax.stop_gradient(
-        t_fea.astype(jnp.float32).reshape(2, B, N_t, -1))
+        t_fea.astype(jnp.float32).reshape(2, B, N_t, -1)
+        .transpose(1, 0, 2, 3))                                   # (B,2,Nt,C)
 
     # Student views stay in their storage dtype (bf16 in training); the
     # temperature scaling moves AFTER the linear contractions (exact: bf16
@@ -154,27 +161,29 @@ def ddino_loss(student_out, teacher_out, centers: DinoCenters,
         groups.append(([0, 1], view_patches[0]))
         groups.append((list(range(2, ncrops)), view_patches[2]))
 
-    t_fea_n = _l2n(t_fea_v)                                      # (2,B,Nt,C)
+    t_fea_n = _l2n(t_fea_v)                                      # (B,2,Nt,C)
     ce_region = {}                   # (iq, v) -> (B,)
     offset = 0
     for view_ids, n in groups:
         nv = len(view_ids)
         rows = nv * n * B
-        s_reg = s_region_flat[offset:offset + rows].reshape(nv, B, n, -1)
-        s_f = s_fea_flat[offset:offset + rows].reshape(nv, B, n, -1)
+        s_reg = (s_region_flat[offset:offset + rows]
+                 .reshape(nv, B, n, -1).transpose(1, 0, 2, 3))   # (B,nv,n,K)
+        s_f = (s_fea_flat[offset:offset + rows]
+               .reshape(nv, B, n, -1).transpose(1, 0, 2, 3))     # (B,nv,n,C)
         offset += rows
 
-        sim = jnp.einsum("vbtc,qbjc->qvbtj", _l2n(s_f), t_fea_n)
+        sim = jnp.einsum("bvtc,bqjc->bqvtj", _l2n(s_f), t_fea_n)
         onehot = jax.nn.one_hot(jnp.argmax(sim, axis=-1), t_region.shape[2],
-                                dtype=jnp.float32)               # (2,nv,B,n,Nt)
-        M = jnp.einsum("qbjk,vbtk->qvbtj", t_region, s_reg,
+                                dtype=jnp.float32)               # (B,2,nv,n,Nt)
+        M = jnp.einsum("bqjk,bvtk->bqvtj", t_region, s_reg,
                        preferred_element_type=jnp.float32) * inv_t
-        qs_reg = jnp.sum(onehot * M, axis=-1)                    # (2,nv,B,n)
+        qs_reg = jnp.sum(onehot * M, axis=-1)                    # (B,2,nv,n)
         lse_reg = jax.nn.logsumexp(s_reg.astype(jnp.float32) * inv_t, axis=-1)
-        ce = jnp.mean(lse_reg[None] - qs_reg, axis=-1)           # (2,nv,B)
+        ce = jnp.mean(lse_reg[:, None] - qs_reg, axis=-1)        # (B,2,nv)
         for q in range(2):
             for i, v in enumerate(view_ids):
-                ce_region[(q, v)] = ce[q, i]
+                ce_region[(q, v)] = ce[:, q, i]
 
     total, n_terms = 0.0, 0
     for iq in range(2):

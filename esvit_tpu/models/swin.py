@@ -38,6 +38,26 @@ from esvit_tpu.ops import window as wops
 Dtype = Any
 
 
+class Static:
+    """Identity-hashable, subscriptable wrapper so trace-time constant
+    dicts (window masks / layout metadata) can ride through ``nn.remat``
+    static arguments."""
+
+    __slots__ = ("value",)
+
+    def __init__(self, value):
+        self.value = value
+
+    def __getitem__(self, k):
+        return self.value[k]
+
+    def __hash__(self):
+        return id(self.value)
+
+    def __eq__(self, other):
+        return isinstance(other, Static) and self.value is other.value
+
+
 class WindowAttention(nn.Module):
     """W-MSA / SW-MSA with relative position bias
     (ref: models/swin_transformer.py:72-152).
@@ -91,10 +111,17 @@ class WindowAttention(nn.Module):
             out = fused_window_attention(qkv, bias, nH, scale)
             probs = None
         else:
-            qkv_r = qkv.reshape(B_, N, 3, nH, hd).transpose(2, 0, 3, 1, 4)
-            q, k, v = qkv_r[0], qkv_r[1], qkv_r[2]          # (B_, nH, N, hd)
+            # Transpose-free decomposition: the head split is a trailing-dim
+            # reshape (free) and the head axis rides dot_general batch dims,
+            # so no physical (B_, N, 3, nH, hd) -> (3, B_, nH, N, hd)
+            # transpose copy is materialized (profiling showed those copies
+            # at ~10% of the whole train step — PERF.md round 2).
+            qkv_r = qkv.reshape(B_, N, 3, nH, hd)
+            q = qkv_r[:, :, 0]                              # (B_, N, nH, hd)
+            k = qkv_r[:, :, 1]
+            v = qkv_r[:, :, 2]
             sd = self.score_dtype
-            attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k,
+            attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k,
                               preferred_element_type=sd)
             nWm = bias.shape[0]
             attn = (attn.reshape(B_ // nWm, nWm, nH, N, N)
@@ -102,8 +129,8 @@ class WindowAttention(nn.Module):
             probs = softmax_fp32(attn)                       # fp32
             probs_c = nn.Dropout(self.attn_drop)(probs,
                                                  deterministic=deterministic)
-            out = jnp.einsum("bhnm,bhmd->bhnd", probs_c.astype(self.dtype), v)
-            out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
+            out = jnp.einsum("bhnm,bmhd->bnhd", probs_c.astype(self.dtype), v)
+            out = out.reshape(B_, N, C)
 
         out = dense(C, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
@@ -269,11 +296,22 @@ class SwinStage(nn.Module):
     downsample: bool
     attention_impl: str = "xla"
     score_dtype: Any = jnp.float32
+    remat: str = "none"
     dtype: Dtype = jnp.float32
 
     def setup(self):
+        if self.remat == "block":
+            # Per-block rematerialization: backward recomputes each block's
+            # activations from its input instead of reading saved residuals
+            # from HBM (deterministic/return_attention/window_major are
+            # trace-time static).
+            Block = nn.remat(SwinBlock, static_argnums=(2, 3, 4))
+        elif self.remat == "none":
+            Block = SwinBlock
+        else:
+            raise ValueError(f"unknown remat mode {self.remat!r}")
         self.blocks = [
-            SwinBlock(
+            Block(
                 dim=self.dim, num_heads=self.num_heads,
                 window_size=self.window_size,
                 shift_size=(self.window_size // 2
@@ -306,7 +344,8 @@ class SwinStage(nn.Module):
             return self._forward_window_major(x, deterministic), []
         aux = []
         for blk in self.blocks:
-            x, attn = blk(x, deterministic, return_attention=(capture == "attention"))
+            # full positional arity: nn.remat static_argnums binds by position
+            x, attn = blk(x, deterministic, capture == "attention", None)
             if capture == "features":
                 aux.append(x)
             elif capture == "attention":
@@ -339,14 +378,14 @@ class SwinStage(nn.Module):
                 trans = wops.layout_transition(Hp, Wp, ws, cur, t)
                 x = x[:, jnp.asarray(trans), :]
             cur = t
-            wm = {
+            wm = Static({
                 "mask": (wops.shifted_window_mask(H, W, ws, t) if t > 0
                          else None),
                 "pad_mask": (wops.pad_token_mask(H, W, Hp, Wp, ws, t)
                              if padded else None),
                 "n_windows": n_windows,
-            }
-            x, _ = blk(x, deterministic, window_major=wm)
+            })
+            x, _ = blk(x, deterministic, False, wm)
 
         inv = wops.window_major_inverse(Hp, Wp, ws, cur)
         x = x[:, jnp.asarray(inv), :]
@@ -398,6 +437,7 @@ class SwinTransformer(nn.Module):
                 norm_eps=c.norm_eps, downsample=(i < nstages - 1),
                 attention_impl=c.attention_impl,
                 score_dtype=jnp.dtype(c.score_dtype).type,
+                remat=getattr(c, "remat", "none"),
                 dtype=self.dtype, name=f"layers_{i}",
             ))
         self.stages = stages

@@ -14,10 +14,12 @@ forward_features (ref :581-605): stages chain through (tokens, nx, ny),
 stripping global tokens between stages; final LN; cls = global token 0 when
 the last stage has one, else mean-pool.
 
-Documented deviation: the reference samples the sliding-chunk neighbor mode
-independently PER LAYER per forward (longformer2d.py:151); here ``mode`` is
-static per net per step (host-sampled, jit caches the 8 variants) — the
-same unbiased neighbor distribution without 8^depth compile variants.
+Neighbor-mode sampling: by default ``mode`` is static per net per step
+(host-sampled, jit caches the 8 variants) — the same unbiased neighbor
+distribution as the reference without 8^depth compile variants. With
+``ViLConfig.per_layer_mode`` (pass ``mode=PER_LAYER_MODE`` + an rng stream
+'vil_mode'), every layer draws independently per forward exactly like the
+reference (longformer2d.py:151), via a traced lax.switch.
 """
 
 from __future__ import annotations
@@ -37,6 +39,9 @@ from esvit_tpu.models.vil_layers import (LinformerAttention, Long2DSCAttention,
                                          PerformerAttention, SRAttention)
 
 Dtype = Any
+
+# Sentinel mode value requesting a per-layer traced neighbor draw.
+PER_LAYER_MODE = 9
 
 
 def parse_vil_arch(arch: str) -> tuple[ViLStageConfig, ...]:
@@ -208,10 +213,22 @@ class ViLAttnBlock(nn.Module):
                                  wx=self.nx, wy=self.ny, nglo=st.num_global,
                                  name="attn", **common)(y, nx, ny, deterministic)
         elif mc.attn_type in ("longformer", "longformerhand", "longformerauto"):
-            y = Long2DSCAttention(st.embed_dim, st.num_heads,
-                                  window=st.window_size, nglo=st.num_global,
-                                  rpe=not st.ape, name="attn", **common)(
-                y, nx, ny, deterministic, mode=mode)
+            attn = Long2DSCAttention(st.embed_dim, st.num_heads,
+                                     window=st.window_size, nglo=st.num_global,
+                                     rpe=not st.ape, name="attn", **common)
+            if mode == PER_LAYER_MODE:
+                # Reference semantics (longformer2d.py:151): every layer
+                # draws its own neighbor chunk each forward. The draw is
+                # traced (lax.switch over the 8 static variants), so one
+                # compilation covers all layer/mode combinations.
+                idx = jax.random.randint(self.make_rng("vil_mode"), (), 0, 8)
+                branches = [
+                    (lambda m: lambda mdl, t: mdl(t, nx, ny, deterministic,
+                                                  mode=m))(m)
+                    for m in range(1, 9)]
+                y = nn.switch(idx, branches, attn, y)
+            else:
+                y = attn(y, nx, ny, deterministic, mode=mode)
         elif mc.attn_type == "performer":
             y = PerformerAttention(st.embed_dim, st.num_heads,
                                    nb_features=st.window_size * st.window_size,
@@ -295,8 +312,9 @@ class MsViT(nn.Module):
                     feats.append((x, nx, ny))
         return x, nx, ny, feats
 
-    def __call__(self, x, deterministic: bool = True, bn_train: bool = False):
-        return self.forward_features(x, deterministic)
+    def __call__(self, x, deterministic: bool = True, bn_train: bool = False,
+                 mode: int = 0):
+        return self.forward_features(x, deterministic, mode=mode)
 
     def forward_features(self, x, deterministic: bool = True,
                          bn_train: bool = False, mode: int = 0):

@@ -88,6 +88,10 @@ class Long2DSCAttention(nn.Module):
     # per-head scales; optional cross-window rpe bias.
     add_pooled: bool = False
     pool_size: int = 0               # 0 -> window size (ref default)
+    # 'mean': avg-pool the raw K map with pool_size stride (ref :218-222);
+    # 'fc': one pooled token per chunk via a learned Linear(W^2 -> 1) over
+    # the chunk's tokens (ref longformer2d.py:111-117, 212-216).
+    pool_method: str = "mean"
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     dtype: Dtype = jnp.float32
@@ -168,24 +172,35 @@ class Long2DSCAttention(nn.Module):
 
             n_pooled = 0
             if self.add_pooled:
-                # mean-pool K/V over pool_size patches of the padded grid
-                # (ref pool_method='mean', :218-222); pooled scales are
-                # learned per head (:108-109).
-                ps = self.pool_size or W
+                # K/V pooled per pool_size patch ('mean', ref :218-222) or
+                # per chunk via a learned Linear over its W^2 tokens ('fc',
+                # ref :111-117, 212-216); pooled scales are learned per
+                # head (:108-109).
                 k_scale = self.param("pooled_k_scale", nn.initializers.ones,
                                      (1, H), jnp.float32)
                 q_scale = self.param("pooled_q_scale", nn.initializers.ones,
                                      (1, H), jnp.float32)
-                nx_p = (nx + padx) // ps
-                ny_p = (ny + pady) // ps
-                n_pooled = nx_p * ny_p
+                if self.pool_method == "fc":
+                    nx_p, ny_p = mx_, my_
+                    n_pooled = nx_p * ny_p
+                    pool_fc = dense(1, dtype=self.dtype, name="pool_fc")
+                    # k_c: (B*H, M, mx, my, W2) -> (B*H, M, mx*my)
+                    pooled_k = pool_fc(k_c).reshape(B * H, M, -1)
+                elif self.pool_method == "mean":
+                    ps = self.pool_size or W
+                    nx_p = (nx + padx) // ps
+                    ny_p = (ny + pady) // ps
+                    n_pooled = nx_p * ny_p
 
-                def pool(t_img):
-                    # (B*H, M, Hp, Wp) -> (B*H, M, nx_p * ny_p)
-                    r = t_img.reshape(B * H, M, nx_p, ps, ny_p, ps)
-                    return jnp.mean(r, axis=(3, 5)).reshape(B * H, M, -1)
+                    def pool(t_img):
+                        # (B*H, M, Hp, Wp) -> (B*H, M, nx_p * ny_p)
+                        r = t_img.reshape(B * H, M, nx_p, ps, ny_p, ps)
+                        return jnp.mean(r, axis=(3, 5)).reshape(B * H, M, -1)
 
-                pooled_k = pool(k_img)
+                    pooled_k = pool(k_img)
+                else:
+                    raise ValueError(
+                        f"unknown pool_method {self.pool_method!r}")
                 # Reference quirk (longformer2d.py:219-222): the map lambda
                 # ignores its argument, so pooled "values" are pooled KEYS.
                 # Replicated for checkpoint parity.

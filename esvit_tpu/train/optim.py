@@ -114,3 +114,38 @@ def apply_last_layer_freeze(grads: Any, ll_mask: Any, frozen: jnp.ndarray) -> An
         lambda g, m: jnp.where(jnp.logical_and(frozen, m), jnp.zeros_like(g), g)
         if m else g,
         grads, ll_mask)
+
+
+def freeze_mask_by_prefix(params: Any, frozen_layers: tuple) -> Any:
+    """True for leaves under any of ``frozen_layers`` — the JAX equivalent
+    of the reference's ``freeze_pretrained_layers`` (swin_transformer.py:
+    919-943, used by the finetune recipes via FINETUNE.FROZEN_LAYERS),
+    which sets requires_grad=False on modules whose first one or two
+    name components match (or everything with '*').
+
+    Entries use our param-tree keys ('patch_embed', 'layers_0',
+    'layers_0/blocks_1'); reference-style dotted names ('layers.0') are
+    normalized. A frozen leaf's gradient AND update are zeroed so neither
+    momentum nor weight decay moves it — matching torch's skip of
+    requires_grad=False params.
+    """
+    wanted = set()
+    for name in frozen_layers:
+        wanted.add(name.replace(".", "_").replace("/", " ").strip())
+    star = "*" in wanted
+
+    def f(path, x):
+        if star:
+            return True
+        keys = [getattr(k, "key", str(k)) for k in path]
+        if keys and keys[0] == "backbone":   # names are backbone-relative
+            keys = keys[1:]
+        return (keys[0] in wanted
+                or (len(keys) > 1 and " ".join(keys[:2]) in wanted))
+    return jax.tree_util.tree_map_with_path(f, params)
+
+
+def apply_param_freeze(tree: Any, mask: Any) -> Any:
+    """Zero leaves where the static boolean mask is True (grads/updates)."""
+    return jax.tree.map(lambda g, m: jnp.zeros_like(g) if m else g,
+                        tree, mask)

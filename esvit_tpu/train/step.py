@@ -136,6 +136,9 @@ class EsViTTrainer:
                 else student_in[0][:0], mix)
             student_in = (g, l) if len(student_in) > 1 else (g,)
 
+        # Per-layer ViL neighbor draws (mode sentinel 9) need an rng stream.
+        t_rngs = ({"vil_mode": jax.random.fold_in(rng, 3)}
+                  if teacher_mode == 9 else None)
         mutable = list(state.teacher_state) if state.teacher_state else False
         if mutable:
             # BN backbones: teacher runs deterministically but with BN in
@@ -144,15 +147,18 @@ class EsViTTrainer:
             t_out, t_updates = self.model.apply(
                 {"params": state.teacher, **state.teacher_state}, teacher_in,
                 deterministic=True, bn_train=True, mode=teacher_mode,
-                mutable=mutable)
+                mutable=mutable, rngs=t_rngs)
             new_teacher_state = dict(t_updates)
         else:
             t_out = self.model.apply({"params": state.teacher}, teacher_in,
-                                     deterministic=True, mode=teacher_mode)
+                                     deterministic=True, mode=teacher_mode,
+                                     rngs=t_rngs)
             new_teacher_state = state.teacher_state
 
         def loss_fn(params):
             rngs = {"droppath": rng, "dropout": jax.random.fold_in(rng, 1)}
+            if mode == 9:
+                rngs["vil_mode"] = jax.random.fold_in(rng, 2)
             if mutable:
                 s_out, s_updates = self.model.apply(
                     {"params": params, **state.student_state}, student_in,
@@ -186,11 +192,22 @@ class EsViTTrainer:
         frozen = epoch < cfg.optim.freeze_last_layer_epochs
         grads = optim_lib.apply_last_layer_freeze(grads, ll_mask, frozen)
 
+        # Finetune-recipe layer freeze (swin_transformer.py:919-943): the
+        # named subtrees never move — grads AND updates zeroed, like torch's
+        # requires_grad=False exclusion from the optimizer.
+        f_mask = None
+        if cfg.optim.frozen_layers:
+            f_mask = optim_lib.freeze_mask_by_prefix(
+                grads, cfg.optim.frozen_layers)
+            grads = optim_lib.apply_param_freeze(grads, f_mask)
+
         updates, opt_state = self.optimizer.update(grads, state.opt_state,
                                                    state.student)
         # Re-zero frozen-leaf updates so weight decay doesn't leak in
         # (torch skips grad=None params entirely).
         updates = optim_lib.apply_last_layer_freeze(updates, ll_mask, frozen)
+        if f_mask is not None:
+            updates = optim_lib.apply_param_freeze(updates, f_mask)
         student = optax.apply_updates(state.student, updates)
 
         # Teacher EMA (main_esvit.py:586-590): p_k <- m p_k + (1-m) p_q.

@@ -131,10 +131,15 @@ def train(cfg: config_lib.TrainConfig, *, dataset=None, data_kind="synthetic",
     vil_mode = getattr(cfg.model, "mode", 0)
     vil_switch_step = int(getattr(cfg.model, "mode_switch", 0.0)
                           * cfg.optim.epochs * steps_per_epoch)
+    vil_per_layer = getattr(cfg.model, "per_layer_mode", False)
     mode_rng = _random.Random(cfg.seed)
 
     def modes_for(step_idx: int) -> tuple[int, int]:
         if vil_mode > 0 and step_idx < vil_switch_step:
+            if vil_per_layer:
+                # sentinel: every layer draws its own neighbor in-graph
+                # (reference longformer2d.py:151 semantics)
+                return 9, 9
             return mode_rng.randrange(1, 9), mode_rng.randrange(1, 9)
         return 0, 0
 
@@ -247,6 +252,10 @@ def get_args_parser():
     p.add_argument("--weight_decay_end", default=0.4, type=float)
     p.add_argument("--clip_grad", default=3.0, type=float)
     p.add_argument("--freeze_last_layer", default=1, type=int)
+    p.add_argument("--frozen_layers", nargs="*", default=[],
+                   help="param subtrees frozen for the whole run "
+                        "(finetune recipes' FINETUNE.FROZEN_LAYERS), e.g. "
+                        "patch_embed layers_0; '*' freezes everything")
     p.add_argument("--optimizer", default="adamw",
                    choices=["adamw", "sgd", "lars"])
     p.add_argument("--batch_size_per_device", default=32, type=int)
@@ -326,7 +335,8 @@ def config_from_args(args) -> config_lib.TrainConfig:
             clip_grad=args.clip_grad,
             freeze_last_layer_epochs=args.freeze_last_layer,
             epochs=args.epochs,
-            batch_size_per_device=args.batch_size_per_device),
+            batch_size_per_device=args.batch_size_per_device,
+            frozen_layers=tuple(args.frozen_layers)),
         mesh=config_lib.MeshConfig(model=args.mesh_model),
         mixup=(None if not args.use_mixup else MixupConfig(
             enabled=True, num_mixup_views=args.num_mixup_views,

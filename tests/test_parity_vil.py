@@ -175,3 +175,40 @@ def test_vil_mode_sampling_parity(np_rng):
     j_out = ours.apply({"params": jax.tree.map(jnp.asarray, params)},
                        jnp.asarray(x), nx, ny, mode=-1)
     np.testing.assert_allclose(np.asarray(j_out), t_out, rtol=1e-4, atol=1e-5)
+
+
+def test_vil_add_pooled_fc_parity(np_rng):
+    """pool_method='fc' (learned Linear(W^2->1) chunk pooling,
+    ref longformer2d.py:111-117, 212-216) vs the reference."""
+    ref_l2d = ref_compat.load_reference_module("layers.longformer2d")
+    from esvit_tpu.models.vil_layers import Long2DSCAttention
+
+    torch.manual_seed(5)
+    dim, heads, w, nglo, nx, ny = 8, 2, 2, 1, 4, 4
+    ref = ref_l2d.Long2DSCSelfAttention(
+        dim, num_heads=heads, qkv_bias=True, w=w, nglo=nglo, rpe=True,
+        exact=0, autograd=True, mode=0, add_pooled=True, pool_size=w,
+        pool_method="fc", wx=nx, wy=ny)
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    ours = Long2DSCAttention(dim, heads, window=w, nglo=nglo, qkv_bias=True,
+                             rpe=True, exact=0, add_pooled=True, pool_size=w,
+                             pool_method="fc")
+    params = {}
+    for k, v in sd.items():
+        if "relative_position_index" in k:
+            continue
+        parts = k.split(".")
+        if parts[0] in ("query", "kv", "proj", "query_global", "kv_global",
+                        "proj_global", "pool_fc"):
+            tgt = params.setdefault(parts[0], {})
+            tgt["kernel" if parts[1] == "weight" else "bias"] = (
+                v.T if parts[1] == "weight" else v)
+        else:
+            params[parts[0]] = v
+    x = np_rng.normal(size=(2, nglo + nx * ny, dim)).astype(np.float32)
+    with torch.no_grad():
+        t_out = ref(torch.tensor(x), nx, ny).numpy()
+    j_out = ours.apply({"params": jax.tree.map(jnp.asarray, params)},
+                       jnp.asarray(x), nx, ny)
+    np.testing.assert_allclose(np.asarray(j_out), t_out, rtol=1e-4, atol=1e-5)
