@@ -1,0 +1,64 @@
+"""Measure the full train step under config variants on the real chip.
+
+Usage: python scripts/perf_step_variants.py [variant ...]
+Variants: base, bf16scores, nolayout, remat, bf16scores+remat, ...
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def run_variant(name: str, **model_overrides) -> float:
+    from esvit_tpu import config
+    from esvit_tpu.train.step import EsViTTrainer
+
+    B = 32
+    model = dataclasses.replace(config.swin_tiny(), **model_overrides)
+    cfg = config.TrainConfig(
+        model=model,
+        head=config.HeadConfig(),
+        loss=config.LossConfig(use_dense_prediction=True),
+        optim=config.OptimConfig(batch_size_per_device=B),
+        steps_per_epoch=1251,
+        dtype=jnp.bfloat16,
+    )
+    trainer = EsViTTrainer(cfg, total_batch_size=B)
+    rng = jax.random.PRNGKey(0)
+    batch = (jax.random.normal(rng, (2 * B, 224, 224, 3), jnp.float32),
+             jax.random.normal(rng, (8 * B, 96, 96, 3), jnp.float32))
+    state = trainer.init_state(rng, batch)
+    step = jax.jit(trainer.train_step)
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    _ = float(metrics["loss"])
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, metrics = step(state, batch, jax.random.PRNGKey(2 + i))
+    loss = float(metrics["loss"])
+    dt = (time.perf_counter() - t0) / iters * 1e3
+    print(f"{name:24} step {dt:8.2f} ms   ({320 / dt * 1e3:7.1f} img/s)  loss {loss:.4f}",
+          flush=True)
+    return dt
+
+
+VARIANTS = {
+    "base": {},
+    "bf16scores": {"score_dtype": "bfloat16"},
+    "nolayout": {"layout_opt": False},
+    "remat": {"remat": "block"},
+    "bf16scores+remat": {"score_dtype": "bfloat16", "remat": "block"},
+}
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or list(VARIANTS)
+    for n in names:
+        run_variant(n, **VARIANTS[n])
