@@ -8,8 +8,12 @@ Passing bar: trained features beat random-init features by a clear margin.
 
 Run: python scripts/validate_learning.py [--steps 2000] [--size nano] [--no-dense]
 
-Validated results (v5e, nano Swin @64px, dense task, chance 25%):
-2000 steps (~5 min): k-NN 39.8% -> 53.1%; 3000 steps (~8 min): -> 60.2%.
+Validated results (v5e, nano Swin @64px, dense task):
+- shapes (4-class, chance 25%): 2000 steps (~5 min): k-NN 39.8% -> 53.1%;
+  3000 steps (~8 min): -> 60.2%.
+- shapes_hard (16-class shape x fill, textured bg + distractors, chance
+  6.25%) — the standing regression metric; see PERF.md for the current
+  baseline number.
 
 Note: at this toy scale k-NN quality is non-monotonic in training length
 (standard small-scale DINO behavior — partial collapse phases before the
@@ -40,13 +44,25 @@ def main():
                         "femto: 2-stage @32px (~2min)")
     p.add_argument("--no-dense", dest="dense", action="store_false",
                    help="disable the region-level (DDINO) task")
+    p.add_argument("--task", choices=["shapes", "shapes_hard"],
+                   default="shapes_hard",
+                   help="shapes: 4-class (chance 25%%, saturates quickly); "
+                        "shapes_hard: 16-class shape x fill with textured "
+                        "backgrounds + distractors (chance 6.25%%) — the "
+                        "standing regression metric")
+    p.add_argument("--host_aug", action="store_true",
+                   help="use the host (PIL-parity) augmentation path instead "
+                        "of the fused on-device one — for aug-fidelity A/B")
+    p.add_argument("--min_gain", type=float, default=None,
+                   help="required (after - before) k-NN gain in points; "
+                        "defaults: 5 for shapes, 10 for shapes_hard")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
     from esvit_tpu import config
-    from esvit_tpu.data.datasets import ProceduralShapes
+    from esvit_tpu.data.datasets import build_dataset
     from esvit_tpu.data.loader import MultiCropIterator
     from esvit_tpu.evals.knn import run_knn_eval
     from esvit_tpu.train.step import EsViTTrainer
@@ -80,9 +96,10 @@ def main():
     )
     trainer = EsViTTrainer(cfg, total_batch_size=args.batch)
 
-    train_ds = ProceduralShapes(n=4096, size=img_size, seed=0)
-    val_train = ProceduralShapes(n=256, size=img_size, seed=7)
-    val_test = ProceduralShapes(n=128, size=img_size, seed=13)
+    n_eval = 512 if args.task == "shapes_hard" else 256
+    train_ds = build_dataset(args.task, n=4096, size=img_size, seed=0)
+    val_train = build_dataset(args.task, n=n_eval, size=img_size, seed=7)
+    val_test = build_dataset(args.task, n=n_eval // 2, size=img_size, seed=13)
 
     B = args.batch
     example = (jnp.zeros((2 * B, g_size, g_size, 3), jnp.float32),
@@ -110,7 +127,7 @@ def main():
     epoch = 0
     while steps_done < args.steps:
         it = MultiCropIterator(train_ds, crops, B, epoch=epoch, seed=0,
-                               host_aug=False, num_threads=4)
+                               host_aug=args.host_aug, num_threads=4)
         for batch in it:
             rng, sub = jax.random.split(rng)
             state, metrics = step_fn(state, batch, sub)
@@ -124,9 +141,13 @@ def main():
 
     acc_after = knn_accuracy(jax.device_get(state.teacher), "trained")
     print(f"\nresult: {acc_before:.1f}% -> {acc_after:.1f}% "
-          f"({args.steps} steps, {time.time() - t0:.0f}s)", flush=True)
-    assert acc_after > acc_before + 5, (
-        "training did not improve features meaningfully")
+          f"({args.steps} steps, {time.time() - t0:.0f}s, task={args.task}, "
+          f"host_aug={args.host_aug})", flush=True)
+    min_gain = args.min_gain
+    if min_gain is None:
+        min_gain = 10.0 if args.task == "shapes_hard" else 5.0
+    assert acc_after > acc_before + min_gain, (
+        f"training gain {acc_after - acc_before:.1f} < required {min_gain}")
     print("LEARNING VALIDATION PASSED", flush=True)
 
 

@@ -243,3 +243,22 @@ def test_deit_augmentation(np_rng):
     aug0 = augment_host.DataAugmentationDEIT(size=32, re_prob=0.0)
     v0 = aug0(rand_img(np_rng), random.Random(0))[0]
     assert v.shape == v0.shape
+
+
+def test_procedural_shapes_hard():
+    """16-class hard task: deterministic, all classes present, figure
+    separable from the textured background (learning-validation substrate)."""
+    ds = datasets.ProceduralShapesHard(n=64, size=64)
+    assert len(ds) == 64
+    img1, lab1 = ds[5]
+    img2, lab2 = ds[5]
+    assert lab1 == lab2 == 5
+    assert np.array_equal(np.asarray(img1), np.asarray(img2))
+    labels = sorted({ds[i][1] for i in range(32)})
+    assert labels == list(range(16))
+    # the bright figure must rise above the dark textured background
+    arr = np.asarray(ds[0][0])
+    assert arr.max() >= 120 and arr.min() < 90
+    # factory dispatch
+    ds2 = datasets.build_dataset("shapes_hard", n=16, size=32)
+    assert len(ds2) == 16 and ds2[0][0].size == (32, 32)
