@@ -53,8 +53,13 @@ class SwinConfig:
     # neutral on v5e (XLA fuses the classic copies equally well — PERF.md),
     # kept as the substrate for future block-fused kernels.
     layout_opt: bool = False
-    # fp32 matches torch-AMP softmax numerics; bf16 is ~14% faster.
-    score_dtype: str = "float32"
+    # Attention score STORAGE dtype (MXU accumulation stays fp32 either
+    # way; softmax is always taken in fp32). bfloat16 is the default: it is
+    # both ~13% faster end-to-end (PERF.md round 2) and the closer match to
+    # the reference's AMP semantics — torch autocast runs q@k^T in fp16 and
+    # only the softmax in fp32 (main_esvit.py:541 autocast block). fp32
+    # storage remains available for strict-fp32 parity tests.
+    score_dtype: str = "bfloat16"
     # Gradient rematerialization: 'none' | 'block' (nn.remat each Swin
     # block: saves only block inputs, recomputes activations in backward —
     # trades ~1/3 more FLOPs for less HBM residual traffic).

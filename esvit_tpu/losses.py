@@ -42,6 +42,7 @@ def _chunk_views(x: jnp.ndarray, nviews: int) -> jnp.ndarray:
 
 def _update_center(old: jnp.ndarray, batch: jnp.ndarray, momentum: float) -> jnp.ndarray:
     """EMA toward the global batch mean (main_esvit.py:650-660)."""
+    batch = batch.reshape(-1, batch.shape[-1])
     batch_center = jnp.mean(batch.astype(jnp.float32), axis=0)
     return old * momentum + batch_center * (1.0 - momentum)
 
@@ -95,8 +96,15 @@ def ddino_loss(student_out, teacher_out, centers: DinoCenters,
     """View + region (dense) EsViT loss (ref: main_esvit.py:683-770).
 
     student_out / teacher_out: the 4-tuples produced by EsViTModel
-    ``(cls_logits, region_logits, region_fea, npatch)``; the teacher holds the
-    2 global views. batch_size is the per-view batch B (static).
+    ``(cls_logits, region_logits, region_fea, npatch)``; the teacher holds
+    the 2 global views. batch_size is the per-view batch B (static).
+
+    Region tensors may arrive in either layout:
+      - batch-major 3-D ``(B, S, K)`` (EsViTModel called with batch_size —
+        the training path; the 65536-wide tensors are born in this layout
+        and are NEVER repacked here), or
+      - the reference's flat 2-D ``(sum_v B*N_v, K)`` view-major rows, which
+        are converted (one transpose) for compatibility/tests.
     Returns (scalar loss, new DinoCenters).
     """
     s_cls_out, s_region_out, s_fea, s_npatch = student_out
@@ -111,31 +119,44 @@ def ddino_loss(student_out, teacher_out, centers: DinoCenters,
         view_patches = [s_npatch[0]] * 2 + [s_npatch[1]] * (ncrops - 2)
     N_t = t_npatch[0]
 
+    def _to_batch_major(flat, patches):
+        """Reference-layout (sum_v B*n_v, K) -> (B, sum_v n_v, K)."""
+        out, off = [], 0
+        groups_ = []
+        for n in patches:
+            if groups_ and groups_[-1][1] == n:
+                groups_[-1][0] += 1
+            else:
+                groups_.append([1, n])
+        for nv, n in groups_:
+            rows = nv * n * B
+            out.append(flat[off:off + rows].reshape(nv, B, n, -1)
+                       .transpose(1, 0, 2, 3).reshape(B, nv * n, -1))
+            off += rows
+        return jnp.concatenate(out, axis=1)
+
+    if s_region_out.ndim == 2:
+        s_region_out = _to_batch_major(s_region_out, view_patches)
+        s_fea = _to_batch_major(s_fea, view_patches)
+    if t_region_out.ndim == 2:
+        t_region_out = _to_batch_major(t_region_out, [N_t, N_t])
+        t_fea = _to_batch_major(t_fea, [N_t, N_t])
+    S = s_region_out.shape[1]                 # sum_v n_v student region rows
+
     # Teacher: center + sharpen, fp32, stop-gradient.
     t_cls = jax.nn.softmax(
         (t_cls_out.astype(jnp.float32) - centers.center[None]) / teacher_temp, axis=-1)
     t_cls = jax.lax.stop_gradient(_chunk_views(t_cls, 2))
-    # Batch-major layouts for everything entering a b-batched contraction:
-    # TPU dot_generals want the batch dim physically leading, and hoisting
-    # the one row permutation here (fused into the softmax / slice) removes
-    # XLA's repeated multi-hundred-MB relayout copies of the (rows, K)
-    # tensors around each einsum (PERF.md round 2 profile).
-    t_region = jax.nn.softmax(
-        (t_region_out.astype(jnp.float32) - centers.center_grid[None]) / teacher_temp,
-        axis=-1)
-    t_region = jax.lax.stop_gradient(
-        t_region.reshape(2, B, N_t, -1).transpose(1, 0, 2, 3))   # (B,2,Nt,K)
-    t_fea_v = jax.lax.stop_gradient(
-        t_fea.astype(jnp.float32).reshape(2, B, N_t, -1)
-        .transpose(1, 0, 2, 3))                                   # (B,2,Nt,C)
+    t_region = jax.lax.stop_gradient(jax.nn.softmax(
+        (t_region_out.astype(jnp.float32) - centers.center_grid[None])
+        / teacher_temp, axis=-1))                               # (B, 2*Nt, K)
+    t_fea_v = jax.lax.stop_gradient(t_fea.astype(jnp.float32))  # (B, 2*Nt, C)
 
     # Student views stay in their storage dtype (bf16 in training); the
     # temperature scaling moves AFTER the linear contractions (exact: bf16
     # -> fp32 is lossless per element and the contractions accumulate fp32),
     # so no (rows, K) fp32 copies are materialized.
     s_cls = _chunk_views(s_cls_out, ncrops)
-    s_region_flat = s_region_out
-    s_fea_flat = s_fea.astype(jnp.float32)
     inv_t = 1.0 / student_temp
 
     def _l2n(x):
@@ -145,53 +166,44 @@ def ddino_loss(student_out, teacher_out, centers: DinoCenters,
     # 1. CE identity: sum(-q * log_softmax(s)) = logsumexp(s) - q . s, so
     #    no (rows, K) log-prob tensor is materialized per pair.
     # 2. The per-pair "gather teacher row by cosine-argmax then dot" becomes
-    #    M[q,v] = t_region[q] @ s_region[v]^T over K (an MXU matmul reading
-    #    each region tensor ONCE per resolution group) followed by a one-hot
-    #    selection of the matched column — replacing 2*(ncrops-1) gather+dot
-    #    HBM passes with grouped matmuls.
+    #    ONE batch-major batched matmul M = t_region @ s_region^T over K
+    #    covering every (teacher view, student view) pair, followed by a
+    #    one-hot selection of the matched column — the (.., K) tensors are
+    #    each read exactly once, in their native layout, with no repacks
+    #    (PERF.md round 2: the former per-group reshape/transpose chain cost
+    #    ~15 ms/step in XLA relayouts of the 65536-wide tensors).
     lse_cls = jax.nn.logsumexp(s_cls.astype(jnp.float32) * inv_t, axis=-1)
     qs_cls = jnp.einsum("qbk,vbk->qvb", t_cls, s_cls,
                         preferred_element_type=jnp.float32) * inv_t
 
-    # Group student views by resolution: views [0,1] at N_g, rest at N_l.
-    groups = []                      # (view_indices, n_patches)
-    if len(s_npatch) == 1:
-        groups.append((list(range(ncrops)), view_patches[0]))
-    else:
-        groups.append(([0, 1], view_patches[0]))
-        groups.append((list(range(2, ncrops)), view_patches[2]))
-
-    t_fea_n = _l2n(t_fea_v)                                      # (B,2,Nt,C)
-    ce_region = {}                   # (iq, v) -> (B,)
-    offset = 0
-    for view_ids, n in groups:
-        nv = len(view_ids)
-        rows = nv * n * B
-        s_reg = (s_region_flat[offset:offset + rows]
-                 .reshape(nv, B, n, -1).transpose(1, 0, 2, 3))   # (B,nv,n,K)
-        s_f = (s_fea_flat[offset:offset + rows]
-               .reshape(nv, B, n, -1).transpose(1, 0, 2, 3))     # (B,nv,n,C)
-        offset += rows
-
-        sim = jnp.einsum("bvtc,bqjc->bqvtj", _l2n(s_f), t_fea_n)
-        onehot = jax.nn.one_hot(jnp.argmax(sim, axis=-1), t_region.shape[2],
-                                dtype=jnp.float32)               # (B,2,nv,n,Nt)
-        M = jnp.einsum("bqjk,bvtk->bqvtj", t_region, s_reg,
-                       preferred_element_type=jnp.float32) * inv_t
-        qs_reg = jnp.sum(onehot * M, axis=-1)                    # (B,2,nv,n)
-        lse_reg = jax.nn.logsumexp(s_reg.astype(jnp.float32) * inv_t, axis=-1)
-        ce = jnp.mean(lse_reg[:, None] - qs_reg, axis=-1)        # (B,2,nv)
-        for q in range(2):
-            for i, v in enumerate(view_ids):
-                ce_region[(q, v)] = ce[:, q, i]
+    lse_reg = jax.nn.logsumexp(
+        s_region_out.astype(jnp.float32) * inv_t, axis=-1)       # (B, S)
+    M = jnp.einsum("bjk,btk->bjt", t_region, s_region_out,
+                   preferred_element_type=jnp.float32) * inv_t   # (B,2Nt,S)
+    sim = jnp.einsum("bjc,btc->bjt", _l2n(t_fea_v),
+                     _l2n(s_fea.astype(jnp.float32)))            # (B,2Nt,S)
+    # Per teacher view q: match each student patch t to its most-similar
+    # teacher patch j (argmax over j within view q) and select M there.
+    sim4 = sim.reshape(B, 2, N_t, S)
+    M4 = M.reshape(B, 2, N_t, S)
+    onehot = jax.nn.one_hot(jnp.argmax(sim4, axis=2), N_t,
+                            dtype=jnp.float32)                   # (B,2,S,Nt)
+    qs_reg = jnp.einsum("bqtj,bqjt->bqt", onehot, M4)            # (B,2,S)
+    ce_flat = lse_reg[:, None, :] - qs_reg                       # (B,2,S)
 
     total, n_terms = 0.0, 0
+    off = 0
+    seg = []                                   # per-view [start, end) in S
+    for v in range(ncrops):
+        seg.append((off, off + view_patches[v]))
+        off += view_patches[v]
     for iq in range(2):
         for v in range(ncrops):
             if v == iq:
                 continue
             loss_v = 0.5 * (lse_cls[v] - qs_cls[iq, v])          # (B,)
-            total = total + jnp.mean(loss_v + 0.5 * ce_region[(iq, v)])
+            ce_v = jnp.mean(ce_flat[:, iq, seg[v][0]:seg[v][1]], axis=-1)
+            total = total + jnp.mean(loss_v + 0.5 * ce_v)
             n_terms += 1
     loss = total / n_terms
 

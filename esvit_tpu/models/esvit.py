@@ -11,6 +11,16 @@ Dense output contract (matches swin_transformer.py:734-751):
     region_logits (sum_r nB_r*N_r, K)
     region_fea    (sum_r nB_r*N_r, C)
     npatch        tuple of N_r per resolution group (static ints)
+
+TPU layout note: when ``batch_size`` is passed to ``__call__``, the region
+tensors are instead emitted *batch-major 3-D*: ``(B, S, K)`` with
+``S = sum_r views_r * N_r`` and rows ordered (view, patch) within each
+resolution group. The reorder happens on the C-wide features BEFORE the
+65536-wide dense head, so the big logits are born in the layout the loss
+consumes — profiling showed XLA otherwise spends ~15 ms/step repacking
+(reshape/slice/transpose) the (rows, 65536) tensors around the loss einsums
+(PERF.md round 2). Math is identical; the flat layout (the reference's,
+swin_transformer.py:744-751) remains the default for API/parity parity.
 """
 
 from __future__ import annotations
@@ -40,7 +50,8 @@ class EsViTModel(nn.Module):
             self.head_dense = DINOHead(self.head_cfg, dtype=self.dtype)
 
     def __call__(self, crops: Sequence[jnp.ndarray], deterministic: bool = True,
-                 bn_train: bool | None = None, mode: int = 0):
+                 bn_train: bool | None = None, mode: int = 0,
+                 batch_size: int | None = None):
         """crops: tuple of per-resolution batches (n_r*B, S_r, S_r, 3).
 
         bn_train: BatchNorm mode for BN backbones (CvT/ResNet). Defaults to
@@ -49,6 +60,8 @@ class EsViTModel(nn.Module):
         the reference's always-train-mode teacher (main_esvit.py:364-383).
         mode: ViL sliding-chunk neighbor-sampling mode (static; ignored by
         other backbones).
+        batch_size: static per-view batch B; when given, region outputs are
+        batch-major (B, S, K)/(B, S, C) (see module docstring).
         """
         if bn_train is None:
             bn_train = not deterministic
@@ -65,8 +78,18 @@ class EsViTModel(nn.Module):
         cls_logits = self.head(cls_cat, deterministic)
         if not self.use_dense_prediction:
             return cls_logits
-        fea_cat = jnp.concatenate(
-            [f.reshape(-1, f.shape[-1]) for f in fea_list], axis=0)
+        if batch_size is None:
+            fea_cat = jnp.concatenate(
+                [f.reshape(-1, f.shape[-1]) for f in fea_list], axis=0)
+        else:
+            # Batch-major reorder on the cheap C-wide features: (v*B, N, C)
+            # -> (B, v*N, C) per resolution group, concatenated over groups.
+            B = batch_size
+            fea_cat = jnp.concatenate(
+                [f.reshape(-1, B, f.shape[1], f.shape[-1])
+                  .transpose(1, 0, 2, 3)
+                  .reshape(B, -1, f.shape[-1])
+                 for f in fea_list], axis=1)
         region_logits = self.head_dense(fea_cat, deterministic)
         return cls_logits, region_logits, fea_cat, tuple(npatch)
 

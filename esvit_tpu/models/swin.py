@@ -436,7 +436,12 @@ class SwinTransformer(nn.Module):
                 drop_path=tuple(float(d) for d in dpr[lo:hi]),
                 norm_eps=c.norm_eps, downsample=(i < nstages - 1),
                 attention_impl=c.attention_impl,
-                score_dtype=jnp.dtype(c.score_dtype).type,
+                # Score storage only drops below fp32 under mixed-precision
+                # compute (mirrors torch AMP, where fp16 scores exist only
+                # inside autocast); fp32 compute stays end-to-end exact for
+                # the golden parity suite.
+                score_dtype=(jnp.dtype(c.score_dtype).type
+                             if self.dtype == jnp.bfloat16 else jnp.float32),
                 remat=getattr(c, "remat", "none"),
                 dtype=self.dtype, name=f"layers_{i}",
             ))

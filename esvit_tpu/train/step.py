@@ -147,12 +147,12 @@ class EsViTTrainer:
             t_out, t_updates = self.model.apply(
                 {"params": state.teacher, **state.teacher_state}, teacher_in,
                 deterministic=True, bn_train=True, mode=teacher_mode,
-                mutable=mutable, rngs=t_rngs)
+                batch_size=B, mutable=mutable, rngs=t_rngs)
             new_teacher_state = dict(t_updates)
         else:
             t_out = self.model.apply({"params": state.teacher}, teacher_in,
                                      deterministic=True, mode=teacher_mode,
-                                     rngs=t_rngs)
+                                     batch_size=B, rngs=t_rngs)
             new_teacher_state = state.teacher_state
 
         def loss_fn(params):
@@ -163,12 +163,12 @@ class EsViTTrainer:
                 s_out, s_updates = self.model.apply(
                     {"params": params, **state.student_state}, student_in,
                     deterministic=False, rngs=rngs, mode=mode,
-                    mutable=mutable)
+                    batch_size=B, mutable=mutable)
                 s_updates = dict(s_updates)
             else:
                 s_out = self.model.apply({"params": params}, student_in,
                                          deterministic=False, rngs=rngs,
-                                         mode=mode)
+                                         mode=mode, batch_size=B)
                 s_updates = state.student_state
             if cfg.loss.use_dense_prediction:
                 loss, new_centers = losses.ddino_loss(
