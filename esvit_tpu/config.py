@@ -45,9 +45,13 @@ class SwinConfig:
     ape: bool = False
     patch_norm: bool = True
     norm_eps: float = 1e-6
-    # 'xla' (default: batched-matmul attention, fastest on current Mosaic —
-    # see PERF.md) or 'pallas' (fused VMEM kernel, kept for future tuning).
-    attention_impl: str = "xla"
+    # 'packed' (default): the fused packed-window Pallas kernel
+    # (ops/packed_window_attention.py) on TPU where a single call covers
+    # all heads (stage-1 shapes; ~2x the XLA path there), falling back to
+    # the XLA batched-matmul path everywhere else. 'xla': always the
+    # batched-matmul path. 'pallas': the round-1 block-diagonal kernel,
+    # kept for comparison.
+    attention_impl: str = "packed"
     # Window-major stage layout: per-block pad/roll/partition copies become
     # one static gather per layout change. Numerically identical; measured
     # neutral on v5e (XLA fuses the classic copies equally well — PERF.md),

@@ -82,7 +82,8 @@ class WindowAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask: Optional[np.ndarray] = None,
-                 deterministic: bool = True, return_attention: bool = False):
+                 deterministic: bool = True, return_attention: bool = False,
+                 region: Optional[np.ndarray] = None):
         B_, N, C = x.shape
         nH = self.num_heads
         hd = C // nH
@@ -94,13 +95,41 @@ class WindowAttention(nn.Module):
                            ((2 * ws - 1) * (2 * ws - 1), nH), jnp.float32)
 
         idx = wops.relative_position_index(ws, ws)          # (ws*ws, ws*ws) np
-        bias = table[idx.reshape(-1)].reshape(ws * ws, ws * ws, nH)
-        bias = bias.transpose(2, 0, 1)[None, :, :N, :N]     # (1, nH, N, N) f32
+        bias_nomask = table[idx.reshape(-1)].reshape(ws * ws, ws * ws, nH)
+        bias_nomask = bias_nomask.transpose(2, 0, 1)        # (nH, N, N) f32
+
+        qkv = dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+
+        # Packed fused kernel (ops/packed_window_attention.py): used when a
+        # single call covers all heads (stage-1 shapes — where the XLA
+        # batched tiny-dot path is per-entry-overhead-bound; larger-nH
+        # stages measured faster on XLA, PERF.md round 2). The shifted mask
+        # travels as region ids; requires a TPU backend (the kernel has its
+        # own interpret-mode parity tests for CPU).
+        if (self.attention_impl == "packed" and not return_attention
+                and self.attn_drop == 0.0 and N == ws * ws
+                and (mask is None) == (region is None)
+                and jax.default_backend() == "tpu"):
+            from esvit_tpu.ops import packed_window_attention as pwa
+
+            nWt = region.shape[0] if region is not None else 1
+            TW, HG = pwa._pick_layout(B_, nH, nWt, N)
+            if TW > 0 and HG == nH:
+                qkv2 = qkv.reshape(B_ * N, 3 * C)
+                out2 = pwa.packed_window_attention(
+                    qkv2[:, :C], qkv2[:, C:2 * C], qkv2[:, 2 * C:],
+                    bias_nomask, region, N, nH, scale,
+                    score_dtype=self.score_dtype)
+                out = out2.reshape(B_, N, C)
+                out = dense(C, dtype=self.dtype, name="proj")(out)
+                out = nn.Dropout(self.proj_drop)(out,
+                                                 deterministic=deterministic)
+                return out, None
+
+        bias = bias_nomask[None, :, :N, :N]                 # (1, nH, N, N)
         if mask is not None:
             m = jnp.asarray(mask, jnp.float32)              # (nW, N, N) const
             bias = bias + m[:, None]                        # (nW, nH, N, N)
-
-        qkv = dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
 
         use_pallas = (self.attention_impl == "pallas" and not return_attention
                       and self.attn_drop == 0.0)
@@ -189,7 +218,8 @@ class SwinBlock(nn.Module):
                                     y.dtype)[None, :, None]
             windows = y.reshape(B * window_major["n_windows"], ws * ws, C)
             attn_out, attn = attn_mod(windows, window_major["mask"],
-                                      deterministic, return_attention)
+                                      deterministic, return_attention,
+                                      region=window_major["region"])
             x = shortcut + dp(attn_out.reshape(B, L, C), deterministic)
             y = mlp(norm2(x), deterministic)
             x = x + dp(y, deterministic)
@@ -205,14 +235,15 @@ class SwinBlock(nn.Module):
         if (Hp, Wp) != (H, W):
             x = jnp.pad(x, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
 
-        mask = None
+        mask = region = None
         if ss > 0:
             x = jnp.roll(x, shift=(-ss, -ss), axis=(1, 2))
             mask = wops.shifted_window_mask(H, W, ws, ss)
+            region = wops.window_region_ids(H, W, ws, ss)
 
         windows = wops.window_partition(x, ws)              # (B*nW, ws*ws, C)
         attn_out, attn = attn_mod(windows, mask, deterministic,
-                                  return_attention)
+                                  return_attention, region=region)
 
         x = wops.window_reverse(attn_out, ws, Hp, Wp)
         if ss > 0:
@@ -381,6 +412,8 @@ class SwinStage(nn.Module):
             wm = Static({
                 "mask": (wops.shifted_window_mask(H, W, ws, t) if t > 0
                          else None),
+                "region": (wops.window_region_ids(H, W, ws, t) if t > 0
+                           else None),
                 "pad_mask": (wops.pad_token_mask(H, W, Hp, Wp, ws, t)
                              if padded else None),
                 "n_windows": n_windows,

@@ -79,6 +79,28 @@ def shifted_window_mask(H: int, W: int, window_size: int, shift_size: int) -> np
 
 
 @functools.lru_cache(maxsize=None)
+def window_region_ids(H: int, W: int, window_size: int, shift_size: int
+                      ) -> np.ndarray:
+    """(nW, N) int32 shift-region label per window token — the `mw` grid the
+    SW-MSA mask is derived from (swin_transformer.py:249-268). Tokens in
+    different regions must not attend: mask = -100 * (id_i != id_j). Used by
+    the packed attention kernel, which compares ids on the fly instead of
+    loading the dense (nW, N, N) mask."""
+    ws, ss = window_size, shift_size
+    Hp = int(np.ceil(H / ws)) * ws
+    Wp = int(np.ceil(W / ws)) * ws
+    img = np.zeros((Hp, Wp), dtype=np.int32)
+    slices = (slice(0, -ws), slice(-ws, -ss), slice(-ss, None))
+    cnt = 0
+    for hs in slices:
+        for wsl in slices:
+            img[hs, wsl] = cnt
+            cnt += 1
+    return (img.reshape(Hp // ws, ws, Wp // ws, ws)
+            .transpose(0, 2, 1, 3).reshape(-1, ws * ws).astype(np.int32))
+
+
+@functools.lru_cache(maxsize=None)
 def pad_to_window_multiple(H: int, W: int, window_size: int) -> tuple[int, int]:
     ws = window_size
     Hp = int(np.ceil(H / ws)) * ws
