@@ -51,7 +51,13 @@ from jax.experimental.pallas import tpu as pltpu
 # backward tiles need; v5e has headroom above it.
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
-_TARGET_COLS = 1200
+import os
+
+# Packed-score width budget per kernel call (cols = HG*TW*N). 2400 lets a
+# single call cover all heads up to nH=6 (Swin stages 1-2, where the kernel
+# beats XLA); the per-step buffers at this width still fit VMEM under the
+# raised compiler limit. Env knob for experiments.
+_TARGET_COLS = int(os.environ.get("ESVIT_PACKED_TARGET_COLS", "2400"))
 
 
 def _pick_tile(n_windows: int, n_heads: int, nW: int, window_tokens: int,
@@ -60,12 +66,13 @@ def _pick_tile(n_windows: int, n_heads: int, nW: int, window_tokens: int,
     sublane-tile multiple (Mosaic block rule), and the window-type pattern
     periodic across grid steps (TW | nW or nW | TW). 0 if impossible."""
     cap = max(1, target_cols // (n_heads * window_tokens))
-    tw = 0
     for c in range(1, cap + 1):
+        # SMALLEST valid tile: cross-window FLOP waste grows with TW, so
+        # the minimum satisfying the sublane-alignment rule always wins.
         if (n_windows % c == 0 and (nW % c == 0 or c % nW == 0)
                 and (c * window_tokens) % 8 == 0):
-            tw = c
-    return tw
+            return c
+    return 0
 
 
 def _pick_layout(n_windows: int, nH: int, nW: int, N: int,
@@ -140,18 +147,18 @@ def _expand_heads(x, N, hd, TW, h0, HG):
 
 
 def _collapse_heads(xexp, N, hd, TW, h0, HG):
-    """Inverse of _expand_heads for gradients: mask per-head channels and
-    sum the HG row copies via a 0/1 selector matmul (no reshapes)."""
+    """Inverse of _expand_heads for gradients: take head h's channel block
+    from its row copy and sum. Sublane slices at multiples of TW*N (8-
+    aligned) + a VPU masked add per head — far cheaper than the equivalent
+    (rows, cols) selector matmul."""
     C = xexp.shape[-1]
-    rows, cols = TW * N, HG * TW * N
-    keep = (_iota2((cols, C), 0) // rows + h0
-            == _iota2((cols, C), 1) // hd).astype(xexp.dtype)
-    xm = xexp * keep
-    sel = (_iota2((rows, cols), 0)
-           == _iota2((rows, cols), 1) % rows).astype(jnp.float32)
-    return jax.lax.dot_general(sel, xm.astype(jnp.float32),
-                               (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+    rows = TW * N
+    lane_h = _iota2((rows, C), 1) // hd
+    total = None
+    for h in range(HG):
+        part = jnp.where(lane_h == h0 + h, xexp[h * rows:(h + 1) * rows], 0)
+        total = part if total is None else total + part
+    return total
 
 
 def _scores(q, k, bias_ref, mask_ref, *, N, hd, TW, h0, HG, scale,

@@ -54,6 +54,8 @@ VARIANTS = {
     "base": {},
     "bf16scores": {"score_dtype": "bfloat16"},
     "nolayout": {"layout_opt": False},
+    "layout": {"layout_opt": True},
+    "xla_attn": {"attention_impl": "xla"},
     "remat": {"remat": "block"},
     "bf16scores+remat": {"score_dtype": "bfloat16", "remat": "block"},
 }
