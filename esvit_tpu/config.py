@@ -68,6 +68,15 @@ class SwinConfig:
     # block: saves only block inputs, recomputes activations in backward —
     # trades ~1/3 more FLOPs for less HBM residual traffic).
     remat: str = "none"
+    # Stages to run through the block-fused Pallas megakernel
+    # (ops/fused_block.py): the whole Swin block — LN1 -> qkv -> window
+    # attention -> proj -> drop-path residual -> LN2 -> MLP -> residual —
+    # in one kernel call (one more for backward, which rematerializes from
+    # the block input). Requires layout_opt=True (window-major tokens) and
+    # a TPU backend; unsupported layouts fall back per block. () disables.
+    fused_block_stages: tuple[int, ...] = ()
+    # Run the fused block kernel in Pallas interpret mode (CPU parity tests).
+    fused_block_interpret: bool = False
 
     name: str = "swin"
 

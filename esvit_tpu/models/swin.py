@@ -22,6 +22,7 @@ window multiple after norm1, exactly like swin_transformer.py:286-291.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Optional
 
 import flax.linen as nn
@@ -56,6 +57,81 @@ class Static:
 
     def __eq__(self, other):
         return isinstance(other, Static) and self.value is other.value
+
+
+class _DenseParams(nn.Module):
+    """Parameter-only stand-in for ``dense``: declares the same
+    kernel/bias names, shapes, and initializers without computing — the
+    block-fused Pallas kernel consumes the raw arrays. Checkpoints are
+    interchangeable between the fused and classic paths."""
+
+    din: int
+    dout: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", trunc_normal_init, (self.din, self.dout),
+                       jnp.float32)
+        b = (self.param("bias", nn.initializers.zeros, (self.dout,),
+                        jnp.float32) if self.use_bias
+             else jnp.zeros((self.dout,), jnp.float32))
+        return k, b
+
+
+class _LNLeafParams(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.dim,),
+                       jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.dim,),
+                       jnp.float32)
+        return s, b
+
+
+class _NormParams(nn.Module):
+    """Mirrors common.LayerNorm's scope (child 'ln' holding scale/bias)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return _LNLeafParams(self.dim, name="ln")()
+
+
+class _AttnParams(nn.Module):
+    """Mirrors WindowAttention's parameter tree (qkv, proj, rel-pos table)."""
+
+    dim: int
+    window_size: int
+    num_heads: int
+    qkv_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        ws = self.window_size
+        table = self.param("relative_position_bias_table", trunc_normal_init,
+                           ((2 * ws - 1) * (2 * ws - 1), self.num_heads),
+                           jnp.float32)
+        qkv = _DenseParams(self.dim, 3 * self.dim, self.qkv_bias,
+                           name="qkv")()
+        proj = _DenseParams(self.dim, self.dim, True, name="proj")()
+        return table, qkv, proj
+
+
+class _MlpParams(nn.Module):
+    """Mirrors Mlp's parameter tree (fc1, fc2)."""
+
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        fc1 = _DenseParams(self.dim, self.hidden, name="fc1")()
+        fc2 = _DenseParams(self.hidden, self.dim, name="fc2")()
+        return fc1, fc2
 
 
 class WindowAttention(nn.Module):
@@ -114,7 +190,8 @@ class WindowAttention(nn.Module):
 
             nWt = region.shape[0] if region is not None else 1
             TW, HG = pwa._pick_layout(B_, nH, nWt, N)
-            if TW > 0 and HG == nH:
+            max_calls = int(os.environ.get("ESVIT_PACKED_MAX_CALLS", "1"))
+            if TW > 0 and HG > 0 and nH // HG <= max_calls:
                 qkv2 = qkv.reshape(B_ * N, 3 * C)
                 out2 = pwa.packed_window_attention(
                     qkv2[:, :C], qkv2[:, C:2 * C], qkv2[:, 2 * C:],
@@ -185,7 +262,62 @@ class SwinBlock(nn.Module):
     norm_eps: float = 1e-6
     attention_impl: str = "xla"
     score_dtype: Any = jnp.float32
+    fused_block: bool = False
+    fused_interpret: bool = False
     dtype: Dtype = jnp.float32
+
+    def _drop_path_scales(self, B, C, deterministic):
+        """Two (B*8, C) per-sample stochastic-depth scale arrays ({0,
+        1/keep}; DropPath semantics), each image's scale replicated 8x and
+        pre-broadcast along C (the fused kernel's sublane-divisible block
+        layout). None when stochastic depth is inactive."""
+        if self.drop_path == 0.0 or deterministic:
+            return None, None
+        keep = 1.0 - self.drop_path
+        r1, r2 = jax.random.split(self.make_rng("droppath"))
+        m1 = jax.random.bernoulli(r1, keep, (B,)).astype(jnp.float32) / keep
+        m2 = jax.random.bernoulli(r2, keep, (B,)).astype(jnp.float32) / keep
+        return (jnp.broadcast_to(m1[:, None, None], (B, 8, C)).reshape(-1, C),
+                jnp.broadcast_to(m2[:, None, None], (B, 8, C)).reshape(-1, C))
+
+    def _fused(self, x, deterministic, window_major):
+        """Whole-block Pallas megakernel path (ops/fused_block.py)."""
+        from esvit_tpu.ops import fused_block as fb
+
+        B, L, C = x.shape
+        ws = self.window_size
+        N = ws * ws
+        nH = self.num_heads
+        table, (wqkv, bqkv), (wp, bp) = _AttnParams(
+            C, ws, nH, self.qkv_bias, name="attn")()
+        g1, be1 = _NormParams(C, name="norm1")()
+        g2, be2 = _NormParams(C, name="norm2")()
+        hidden = int(C * self.mlp_ratio)
+        (w1, b1), (w2, b2) = _MlpParams(C, hidden, name="mlp")()
+
+        idx = wops.relative_position_index(ws, ws)
+        bias = table[idx.reshape(-1)].reshape(N, N, nH).transpose(2, 0, 1)
+
+        params = dict(
+            g1=g1, be1=be1,
+            wq=wqkv[:, :C], bq=bqkv[:C],
+            wk=wqkv[:, C:2 * C], bk=bqkv[C:2 * C],
+            wv=wqkv[:, 2 * C:], bv=bqkv[2 * C:],
+            bias=bias, wp=wp, bp=bp, g2=g2, be2=be2,
+            w1=w1, b1=b1, w2=w2, b2=b2,
+        )
+        dp1, dp2 = self._drop_path_scales(B, C, deterministic)
+        pad = window_major["pad_mask"]
+        out = fb.fused_swin_block(
+            x, params, dp1, dp2, N=N, nH=nH,
+            nW=window_major["n_windows"],
+            scale=self.qk_scale or (C // nH) ** -0.5,
+            region=window_major["region"],
+            pad=(np.asarray(pad) if pad is not None else None),
+            eps=self.norm_eps,
+            score_dtype=self.score_dtype,
+            interpret=self.fused_interpret)
+        return out, None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True,
@@ -195,6 +327,11 @@ class SwinBlock(nn.Module):
         (window_major = {'mask', 'pad_mask', 'n_windows'}): x is already in
         this block's window-major layout; partition is a free reshape and
         the stage driver handles layout transitions (ops/window.py)."""
+        if window_major is not None and window_major["padded"]:
+            # Padded window-major layout: only the fused megakernel consumes
+            # it (the stage driver gates eligibility before choosing it).
+            return self._fused(x, deterministic, window_major)
+
         norm1 = LayerNorm(self.norm_eps, self.dtype, name="norm1")
         attn_mod = WindowAttention(
             self.dim, self.window_size, self.num_heads,
@@ -328,6 +465,8 @@ class SwinStage(nn.Module):
     attention_impl: str = "xla"
     score_dtype: Any = jnp.float32
     remat: str = "none"
+    fused_block: bool = False
+    fused_interpret: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -352,7 +491,9 @@ class SwinStage(nn.Module):
                 attn_drop=self.attn_drop, drop_path=self.drop_path[i],
                 norm_eps=self.norm_eps,
                 attention_impl=self.attention_impl,
-                score_dtype=self.score_dtype, dtype=self.dtype,
+                score_dtype=self.score_dtype,
+                fused_block=self.fused_block,
+                fused_interpret=self.fused_interpret, dtype=self.dtype,
                 name=f"blocks_{i}",
             )
             for i in range(self.depth)
@@ -372,6 +513,8 @@ class SwinStage(nn.Module):
         capturing (aux consumers expect spatial tokens).
         """
         if layout_opt and capture is None and len(self.blocks) > 0:
+            if self.fused_block and self._fused_ok(x):
+                return self._forward_fused(x, deterministic), []
             return self._forward_window_major(x, deterministic), []
         aux = []
         for blk in self.blocks:
@@ -417,6 +560,7 @@ class SwinStage(nn.Module):
                 "pad_mask": (wops.pad_token_mask(H, W, Hp, Wp, ws, t)
                              if padded else None),
                 "n_windows": n_windows,
+                "padded": False,
             })
             x, _ = blk(x, deterministic, False, wm)
 
@@ -424,6 +568,68 @@ class SwinStage(nn.Module):
         x = x[:, jnp.asarray(inv), :]
         if padded:
             x = x.reshape(B, Hp, Wp, C)[:, :H, :W, :].reshape(B, L, C)
+        if self.downsample:
+            x = self.merge(x)
+        return x
+
+    def _fused_ok(self, x) -> bool:
+        """Whether the block-fused megakernel path can run this stage."""
+        from esvit_tpu.ops import fused_block as fb
+
+        if not (jax.default_backend() == "tpu" or self.fused_interpret):
+            return False
+        if self.drop != 0.0 or self.attn_drop != 0.0:
+            return False
+        B, L, C = x.shape
+        H = W = int(math.isqrt(L))
+        ws = self.blocks[0].window_size
+        Hp, Wp = wops.pad_to_window_multiple(H, W, ws)
+        nW = (Hp // ws) * (Wp // ws)
+        Np = wops.padded_window_tokens(ws)
+        return fb.supports(B, nW * Np, ws * ws, self.num_heads, nW)
+
+    def _forward_fused(self, x, deterministic: bool):
+        """Whole stage in the PADDED window-major layout (ops/window.py):
+        every block runs as one fused Pallas kernel; layout changes are
+        static gathers on padded rows."""
+        B, L, C = x.shape
+        H = W = int(math.isqrt(L))
+        ws = self.blocks[0].window_size
+        Hp, Wp = wops.pad_to_window_multiple(H, W, ws)
+        spatial_padded = (Hp, Wp) != (H, W)
+        if spatial_padded:
+            x = jnp.pad(x.reshape(B, H, W, C),
+                        ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
+            x = x.reshape(B, Hp * Wp, C)
+        n_windows = (Hp // ws) * (Wp // ws)
+
+        cur: Optional[int] = None
+        for blk in self.blocks:
+            t = blk.shift_size
+            if cur is None:
+                perm = wops.window_major_perm_padded(Hp, Wp, ws, t)
+                x = x[:, jnp.asarray(perm), :]
+            elif cur != t:
+                trans = wops.layout_transition_padded(Hp, Wp, ws, cur, t)
+                x = x[:, jnp.asarray(trans), :]
+            cur = t
+            wm = Static({
+                "region": (wops.window_region_ids(H, W, ws, t) if t > 0
+                           else None),
+                "pad_mask": (
+                    wops.pad_token_mask_padded(H, W, Hp, Wp, ws, t)
+                    if spatial_padded else None),
+                "n_windows": n_windows,
+                "padded": True,
+            })
+            x, _ = blk(x, deterministic, False, wm)
+
+        inv = wops.padded_to_spatial_perm(Hp, Wp, ws, cur)
+        x = x[:, jnp.asarray(inv), :]
+        if spatial_padded:
+            x = x.reshape(B, Hp, Wp, C)[:, :H, :W, :].reshape(B, L, C)
+        else:
+            x = x.reshape(B, L, C)
         if self.downsample:
             x = self.merge(x)
         return x
@@ -476,6 +682,8 @@ class SwinTransformer(nn.Module):
                 score_dtype=(jnp.dtype(c.score_dtype).type
                              if self.dtype == jnp.bfloat16 else jnp.float32),
                 remat=getattr(c, "remat", "none"),
+                fused_block=(i in getattr(c, "fused_block_stages", ())),
+                fused_interpret=getattr(c, "fused_block_interpret", False),
                 dtype=self.dtype, name=f"layers_{i}",
             ))
         self.stages = stages

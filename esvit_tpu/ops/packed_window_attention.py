@@ -187,33 +187,35 @@ def _softmax(s, *, N, TW, HG):
     return e * lcols, G
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref,
-                *, N, hd, TW, h0, HG, scale, score_dtype):
-    q = q_ref[:]
-    s, _, _ = _scores(q, k_ref[:], bias_ref, mask_ref, N=N, hd=hd, TW=TW,
+def attn_group_fwd(q, k, v, bias_ref, mask_ref, *, N, hd, TW, h0, HG, scale,
+                   score_dtype):
+    """One head-group of packed window attention; returns o32 (rows, C) f32
+    (nonzero only in the group's channel block). Shared by the standalone
+    packed kernel and the block-fused kernel (ops/fused_block.py)."""
+    s, _, _ = _scores(q, k, bias_ref, mask_ref, N=N, hd=hd, TW=TW,
                       h0=h0, HG=HG, scale=scale, score_dtype=score_dtype)
     p32, _ = _softmax(s, N=N, TW=TW, HG=HG)
     p = p32.astype(q.dtype)
-    vexp = _expand_heads(v_ref[:], N, hd, TW, h0, HG)
-    o = jax.lax.dot_general(p, vexp, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    o_ref[:] = o.astype(q.dtype)
+    vexp = _expand_heads(v, N, hd, TW, h0, HG)
+    return jax.lax.dot_general(p, vexp, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, do_ref,
-                dq_ref, dk_ref, dv_ref, dbias_ref,
-                *, N, hd, TW, h0, HG, scale, score_dtype):
-    q = q_ref[:]
-    do = do_ref[:].astype(q.dtype)
-    s, kexp, qs = _scores(q, k_ref[:], bias_ref, mask_ref, N=N, hd=hd, TW=TW,
+def attn_group_bwd(q, k, v, bias_ref, mask_ref, do, *, N, hd, TW, h0, HG,
+                   scale, score_dtype):
+    """Gradients of one head-group w.r.t. q/k/v given do (rows, C) in the
+    compute dtype. Returns (dq32, dk32, dv32, ds32); the d{q,k,v} are f32,
+    nonzero only in the group's channel block; ds32 is the (rows, cols)
+    score gradient (the rel-pos-bias gradient before window reduction)."""
+    s, kexp, qs = _scores(q, k, bias_ref, mask_ref, N=N, hd=hd, TW=TW,
                           h0=h0, HG=HG, scale=scale, score_dtype=score_dtype)
     p32, G = _softmax(s, N=N, TW=TW, HG=HG)
     p = p32.astype(q.dtype)
-    vexp = _expand_heads(v_ref[:], N, hd, TW, h0, HG)
+    vexp = _expand_heads(v, N, hd, TW, h0, HG)
 
     dvexp = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-    dv_ref[:] = _collapse_heads(dvexp, N, hd, TW, h0, HG).astype(q.dtype)
+    dv = _collapse_heads(dvexp, N, hd, TW, h0, HG)
 
     dp = jax.lax.dot_general(do, vexp, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
@@ -224,6 +226,33 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, do_ref,
                                 preferred_element_type=jnp.float32)
     ds32 = p32 * (dp - rcols)
 
+    ds = ds32.astype(q.dtype)
+    dq = jax.lax.dot_general(ds, kexp, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) * scale
+    dkexp = jax.lax.dot_general(ds, qs, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    dk = _collapse_heads(dkexp, N, hd, TW, h0, HG)
+    return dq, dk, dv, ds32
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref,
+                *, N, hd, TW, h0, HG, scale, score_dtype):
+    q = q_ref[:]
+    o = attn_group_fwd(q, k_ref[:], v_ref[:], bias_ref, mask_ref, N=N, hd=hd,
+                       TW=TW, h0=h0, HG=HG, scale=scale,
+                       score_dtype=score_dtype)
+    o_ref[:] = o.astype(q.dtype)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, do_ref,
+                dq_ref, dk_ref, dv_ref, dbias_ref,
+                *, N, hd, TW, h0, HG, scale, score_dtype):
+    q = q_ref[:]
+    do = do_ref[:].astype(q.dtype)
+    dq, dk, dv, ds32 = attn_group_bwd(
+        q, k_ref[:], v_ref[:], bias_ref, mask_ref, do, N=N, hd=hd, TW=TW,
+        h0=h0, HG=HG, scale=scale, score_dtype=score_dtype)
+
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -232,13 +261,9 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, do_ref,
 
     dbias_ref[:] = dbias_ref[:] + ds32
 
-    ds = ds32.astype(q.dtype)
-    dq = jax.lax.dot_general(ds, kexp, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    dq_ref[:] = (dq * scale).astype(q.dtype)
-    dkexp = jax.lax.dot_general(ds, qs, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-    dk_ref[:] = _collapse_heads(dkexp, N, hd, TW, h0, HG).astype(q.dtype)
+    dq_ref[:] = dq.astype(q.dtype)
+    dk_ref[:] = dk.astype(q.dtype)
+    dv_ref[:] = dv.astype(q.dtype)
 
 
 def _layout(q2, region, N, nH, tile_windows):

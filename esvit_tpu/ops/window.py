@@ -145,6 +145,75 @@ def layout_transition(Hp: int, Wp: int, window_size: int, src_shift: int,
     return inv_src[perm_dst]
 
 
+# --- Padded-window layouts (round-2 fused kernel substrate) -----------------
+# Each ws*ws window is padded to Np = ceil(ws*ws/8)*8 token slots so that
+# window boundaries are 8-aligned in the sublane dimension (Mosaic slice
+# rule). Dead slots carry garbage: the kernels mask dead KEYS with -1e9 and
+# dead rows never feed real outputs (attention is window-local and MLP/LN
+# are row-local), so real-token results are bit-identical to the unpadded
+# layout and dead-slot cotangents are exactly zero.
+
+
+def padded_window_tokens(window_size: int) -> int:
+    n = window_size * window_size
+    return ((n + 7) // 8) * 8
+
+
+@functools.lru_cache(maxsize=None)
+def window_major_perm_padded(Hp: int, Wp: int, window_size: int, shift: int
+                             ) -> np.ndarray:
+    """Gather indices p (len nW*Np) with x_padded = x_spatial_flat[:, p, :]:
+    real slots pick their token; dead slots pick index 0 (their value is
+    masked and their cotangent is zero, so the scatter-add in the gather's
+    VJP adds exact zeros to token 0)."""
+    ws = window_size
+    N, Np = ws * ws, padded_window_tokens(ws)
+    perm = window_major_perm(Hp, Wp, ws, shift).reshape(-1, N)   # (nW, N)
+    out = np.zeros((perm.shape[0], Np), np.int64)
+    out[:, :N] = perm
+    return out.reshape(-1)
+
+
+@functools.lru_cache(maxsize=None)
+def padded_to_spatial_perm(Hp: int, Wp: int, window_size: int, shift: int
+                           ) -> np.ndarray:
+    """Gather indices q (len Hp*Wp) with x_spatial = x_padded[:, q, :]."""
+    ws = window_size
+    N, Np = ws * ws, padded_window_tokens(ws)
+    perm = window_major_perm(Hp, Wp, ws, shift)                  # (nW*N,)
+    inv = np.empty(Hp * Wp, np.int64)
+    # padded position of real token perm[k] (window k//N, slot k%N)
+    pos = (np.arange(perm.size) // N) * Np + (np.arange(perm.size) % N)
+    inv[perm] = pos
+    return inv
+
+
+@functools.lru_cache(maxsize=None)
+def layout_transition_padded(Hp: int, Wp: int, window_size: int,
+                             src_shift: int, dst_shift: int) -> np.ndarray:
+    """Gather t with x_dst_padded = x_src_padded[:, t, :] between two padded
+    window-major layouts; dead slots read index 0."""
+    ws = window_size
+    N, Np = ws * ws, padded_window_tokens(ws)
+    to_spatial = padded_to_spatial_perm(Hp, Wp, ws, src_shift)
+    dst = window_major_perm_padded(Hp, Wp, ws, dst_shift).reshape(-1, Np)
+    out = np.zeros_like(dst)
+    out[:, :N] = to_spatial[dst[:, :N]]
+    return out.reshape(-1)
+
+
+@functools.lru_cache(maxsize=None)
+def pad_token_mask_padded(H: int, W: int, Hp: int, Wp: int, window_size: int,
+                          shift: int) -> np.ndarray:
+    """pad_token_mask in the padded-window layout (dead slots -> 0)."""
+    ws = window_size
+    N, Np = ws * ws, padded_window_tokens(ws)
+    base = pad_token_mask(H, W, Hp, Wp, ws, shift).reshape(-1, N)
+    out = np.zeros((base.shape[0], Np), np.float32)
+    out[:, :N] = base
+    return out.reshape(-1)
+
+
 @functools.lru_cache(maxsize=None)
 def pad_token_mask(H: int, W: int, Hp: int, Wp: int, window_size: int,
                    shift: int) -> np.ndarray:
