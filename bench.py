@@ -25,6 +25,9 @@ A100_ESTIMATE_IMG_PER_SEC = 290.0
 def main():
     from esvit_tpu import config
     from esvit_tpu.train.step import EsViTTrainer
+    from esvit_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     B = 32  # per-chip batch, matching the reference's 16 GPU x bs32 recipe
     cfg = config.TrainConfig(
@@ -44,7 +47,10 @@ def main():
     # NOTE: donate_argnums trips an INVALID_ARGUMENT in the axon PJRT tunnel
     # used for single-chip benching; on real multi-chip deployments the train
     # loop donates the state (halves peak HBM).
-    step = jax.jit(trainer.train_step)
+    from esvit_tpu.utils.compile_cache import cached_compile
+
+    step = cached_compile(jax.jit(trainer.train_step), state, batch,
+                          jax.random.PRNGKey(1), name="bench_train_step")
 
     # Warmup/compile. NOTE: on the axon tunnel backend block_until_ready
     # returns before remote execution completes; a host scalar fetch is the

@@ -53,10 +53,10 @@ class SwinConfig:
     # kept for comparison.
     attention_impl: str = "packed"
     # Window-major stage layout: per-block pad/roll/partition copies become
-    # one static gather per layout change. Numerically identical; measured
-    # neutral on v5e (XLA fuses the classic copies equally well — PERF.md),
-    # kept as the substrate for future block-fused kernels.
-    layout_opt: bool = False
+    # one static gather per layout change. Numerically identical; neutral
+    # on its own (XLA fuses the classic copies equally well — PERF.md) but
+    # required by the block-fused kernel path, so on by default.
+    layout_opt: bool = True
     # Attention score STORAGE dtype (MXU accumulation stays fp32 either
     # way; softmax is always taken in fp32). bfloat16 is the default: it is
     # both ~13% faster end-to-end (PERF.md round 2) and the closer match to
@@ -73,8 +73,11 @@ class SwinConfig:
     # attention -> proj -> drop-path residual -> LN2 -> MLP -> residual —
     # in one kernel call (one more for backward, which rematerializes from
     # the block input). Requires layout_opt=True (window-major tokens) and
-    # a TPU backend; unsupported layouts fall back per block. () disables.
-    fused_block_stages: tuple[int, ...] = ()
+    # a TPU backend; unsupported layouts fall back per stage. () disables.
+    # Default: stages 0-2 (measured 22.0 -> 16.7 ms backbone fwd+bwd on
+    # v5e; stage 3's C=768 backward exceeds the AOT compiler's budget —
+    # PERF.md round 2).
+    fused_block_stages: tuple[int, ...] = (0, 1, 2)
     # Run the fused block kernel in Pallas interpret mode (CPU parity tests).
     fused_block_interpret: bool = False
 

@@ -352,6 +352,9 @@ def config_from_args(args) -> config_lib.TrainConfig:
 
 def main(argv=None):
     args = get_args_parser().parse_args(argv)
+    from esvit_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
     if args.distributed:
