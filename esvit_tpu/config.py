@@ -58,12 +58,14 @@ class SwinConfig:
     # required by the block-fused kernel path, so on by default.
     layout_opt: bool = True
     # Attention score STORAGE dtype (MXU accumulation stays fp32 either
-    # way; softmax is always taken in fp32). bfloat16 is the default: it is
-    # both ~13% faster end-to-end (PERF.md round 2) and the closer match to
-    # the reference's AMP semantics — torch autocast runs q@k^T in fp16 and
-    # only the softmax in fp32 (main_esvit.py:541 autocast block). fp32
-    # storage remains available for strict-fp32 parity tests.
-    score_dtype: str = "bfloat16"
+    # way; softmax is always taken in fp32). float32 is the default:
+    # bfloat16 scores destabilize real training — the learning-validation
+    # run diverges to NaN after ~1k steps with bf16 scores and trains
+    # cleanly with fp32 (PERF.md round 2 regression hunt). bf16's 7-bit
+    # mantissa is also NOT equivalent to torch AMP's fp16 scores (10-bit);
+    # the original "AMP-matching" rationale was wrong. With the block-fused
+    # kernel scores never leave VMEM, so fp32 storage costs ~nothing.
+    score_dtype: str = "float32"
     # Gradient rematerialization: 'none' | 'block' (nn.remat each Swin
     # block: saves only block inputs, recomputes activations in backward —
     # trades ~1/3 more FLOPs for less HBM residual traffic).

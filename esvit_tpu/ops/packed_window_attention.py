@@ -175,8 +175,20 @@ def _scores(q, k, bias_ref, mask_ref, *, N, hd, TW, h0, HG, scale,
 def _softmax(s, *, N, TW, HG):
     rows = TW * N
     cols = HG * rows
-    m = jnp.max(s, axis=1, keepdims=True)
-    e = jnp.exp(s - m)
+    # Per-HEAD max (not one joint max across the packed heads): with a
+    # joint max, a head whose scores sit far below another head's max has
+    # exp underflow to exactly 0 on ALL its columns, so its row sum l is 0
+    # and 1/l poisons the whole row with inf/NaN. Seen in practice once
+    # trained score magnitudes grow (PERF.md round-2 regression hunt) —
+    # the classic per-head softmax never has this failure mode.
+    head_of_col = _iota2((1, cols), 1) // rows               # (1, cols)
+    mcols = None
+    for h in range(HG):
+        sel = head_of_col == h
+        m_h = jnp.max(jnp.where(sel, s, -jnp.inf), axis=1, keepdims=True)
+        part = jnp.where(sel, m_h, 0.0)
+        mcols = part if mcols is None else mcols + part      # (rows, cols)
+    e = jnp.exp(s - mcols)
     G = (_iota2((cols, HG), 0) // rows
          == _iota2((cols, HG), 1)).astype(jnp.float32)
     l = jax.lax.dot_general(e, G, (((1,), (0,)), ((), ())),

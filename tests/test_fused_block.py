@@ -117,6 +117,12 @@ CASES = [
     pytest.param(8, 7, 7, 32, 2, False, False, True, id="tile-spans-imgs+dp"),
     pytest.param(2, 14, 7, 64, 8, True, False, False, id="multi-head-group"),
     pytest.param(2, 28, 7, 32, 2, True, False, True, id="within-img+dp"),
+    # nano/validate_learning shapes: ws=4 (no dead slots), single shifted
+    # window, multi-group nH=4, and the 32px-crop runtime pad (H=2 -> 4).
+    pytest.param(8, 4, 4, 32, 4, True, False, False, id="ws4-shift-1win"),
+    pytest.param(8, 8, 4, 32, 4, True, False, False, id="ws4-shift-4win"),
+    pytest.param(8, 2, 4, 32, 4, False, True, False, id="ws4-pad2to4"),
+    pytest.param(4, 6, 4, 32, 2, True, True, False, id="ws4-pad6to8-shift"),
 ]
 
 

@@ -95,3 +95,34 @@ def test_packed_matches_classic(case, dtype, sd, tol):
         np.testing.assert_allclose(a / scale_ref, b / scale_ref,
                                    rtol=tol, atol=tol,
                                    err_msg=f"grad {name}")
+
+
+def test_packed_softmax_stable_across_head_scales():
+    """Regression: per-head softmax max. With one joint max over the packed
+    heads, a head whose scores sit ~100+ below another head's max had its
+    exps underflow to exactly zero -> 1/sum = inf -> NaN (seen in real
+    training once score magnitudes grew — PERF.md round 2)."""
+    N, nH, nW, B = 16, 2, 4, 2
+    C = nH * 32
+    B_ = B * nW
+    rng = np.random.RandomState(3)
+    # Head 0 gets huge activations (scores ~ +-300), head 1 tiny ones.
+    q = rng.randn(B_ * N, C)
+    k = rng.randn(B_ * N, C)
+    q[:, :32] *= 40.0
+    k[:, :32] *= 40.0
+    q2, k2 = jnp.asarray(q, jnp.float32), jnp.asarray(k, jnp.float32)
+    v2 = jnp.asarray(rng.randn(B_ * N, C), jnp.float32)
+    bias = jnp.asarray(0.3 * rng.randn(nH, N, N), jnp.float32)
+    fn = functools.partial(packed_window_attention, N=N, nH=nH,
+                           scale=32 ** -0.5, score_dtype=jnp.float32,
+                           interpret=True)
+    out = fn(q2, k2, v2, bias, None)
+    assert np.isfinite(np.asarray(out)).all()
+    ref = classic(q2, k2, v2, bias, None, N, nH, 32 ** -0.5, jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    g = jax.grad(lambda q, k, v: jnp.sum(fn(q, k, v, bias, None) ** 2),
+                 argnums=(0, 1, 2))(q2, k2, v2)
+    for a in g:
+        assert np.isfinite(np.asarray(a)).all()
