@@ -239,6 +239,16 @@ class LossConfig:
     warmup_teacher_temp_epochs: int = 30
     student_temp: float = 0.1
     center_momentum: float = 0.9
+    # K-streamed loss (losses.ddino_loss_streamed): fold the DINO-head
+    # last layer into the loss and scan out_dim in chunks so (rows, 65536)
+    # logits never hit HBM. Exact to fp reassociation (tested at the
+    # train-step level). OFF by default: on v5e it measured SLOWER than
+    # the dense path (147.8 -> 159.1 ms/step at 8 chunks, 164.6 at 2 —
+    # the scan's 2-pass + backward-remat logit recomputes and lost XLA
+    # fusion outweigh the ~2 GB of logits/softmax HBM it saves). Turn on
+    # when HBM peak is the binding constraint (bigger per-chip batch).
+    streamed: bool = False
+    stream_chunks: int = 8
 
 
 @dataclass(frozen=True)

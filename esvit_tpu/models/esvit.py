@@ -51,7 +51,8 @@ class EsViTModel(nn.Module):
 
     def __call__(self, crops: Sequence[jnp.ndarray], deterministic: bool = True,
                  bn_train: bool | None = None, mode: int = 0,
-                 batch_size: int | None = None):
+                 batch_size: int | None = None,
+                 bottleneck_outputs: bool = False):
         """crops: tuple of per-resolution batches (n_r*B, S_r, S_r, 3).
 
         bn_train: BatchNorm mode for BN backbones (CvT/ResNet). Defaults to
@@ -62,6 +63,12 @@ class EsViTModel(nn.Module):
         other backbones).
         batch_size: static per-view batch B; when given, region outputs are
         batch-major (B, S, K)/(B, S, C) (see module docstring).
+        bottleneck_outputs: dense path only — return the heads' L2-normalized
+        bottleneck features plus the effective last-layer matrices instead of
+        K-wide logits: ``(cls_z, region_z, region_fea, npatch, w_cls,
+        w_dense)``. The K-streamed loss (losses.ddino_loss_streamed)
+        contracts them chunk by chunk so (rows, 65536) logits never
+        materialize in HBM.
         """
         if bn_train is None:
             bn_train = not deterministic
@@ -75,9 +82,13 @@ class EsViTModel(nn.Module):
             fea_list.append(fea)
             npatch.append(fea.shape[1])
         cls_cat = jnp.concatenate(cls_list, axis=0)
-        cls_logits = self.head(cls_cat, deterministic)
-        if not self.use_dense_prediction:
-            return cls_logits
+        if bottleneck_outputs:
+            assert self.use_dense_prediction
+            cls_z = self.head.bottleneck(cls_cat, deterministic)
+        else:
+            cls_logits = self.head(cls_cat, deterministic)
+            if not self.use_dense_prediction:
+                return cls_logits
         if batch_size is None:
             fea_cat = jnp.concatenate(
                 [f.reshape(-1, f.shape[-1]) for f in fea_list], axis=0)
@@ -90,6 +101,10 @@ class EsViTModel(nn.Module):
                   .transpose(1, 0, 2, 3)
                   .reshape(B, -1, f.shape[-1])
                  for f in fea_list], axis=1)
+        if bottleneck_outputs:
+            region_z = self.head_dense.bottleneck(fea_cat, deterministic)
+            return (cls_z, region_z, fea_cat, tuple(npatch),
+                    self.head.last_weight(), self.head_dense.last_weight())
         region_logits = self.head_dense(fea_cat, deterministic)
         return cls_logits, region_logits, fea_cat, tuple(npatch)
 

@@ -136,6 +136,12 @@ class EsViTTrainer:
                 else student_in[0][:0], mix)
             student_in = (g, l) if len(student_in) > 1 else (g,)
 
+        # K-streamed loss path: the model emits bottleneck features + the
+        # effective last-layer matrices; ddino_loss_streamed contracts K in
+        # chunks (no (rows, 65536) logits in HBM).
+        streamed = (cfg.loss.use_dense_prediction
+                    and getattr(cfg.loss, "streamed", False))
+
         # Per-layer ViL neighbor draws (mode sentinel 9) need an rng stream.
         t_rngs = ({"vil_mode": jax.random.fold_in(rng, 3)}
                   if teacher_mode == 9 else None)
@@ -147,13 +153,21 @@ class EsViTTrainer:
             t_out, t_updates = self.model.apply(
                 {"params": state.teacher, **state.teacher_state}, teacher_in,
                 deterministic=True, bn_train=True, mode=teacher_mode,
-                batch_size=B, mutable=mutable, rngs=t_rngs)
+                batch_size=B, bottleneck_outputs=streamed, mutable=mutable,
+                rngs=t_rngs)
             new_teacher_state = dict(t_updates)
         else:
             t_out = self.model.apply({"params": state.teacher}, teacher_in,
                                      deterministic=True, mode=teacher_mode,
-                                     batch_size=B, rngs=t_rngs)
+                                     batch_size=B,
+                                     bottleneck_outputs=streamed, rngs=t_rngs)
             new_teacher_state = state.teacher_state
+        if streamed:
+            # stop-grad the teacher arrays only (npatch stays static ints)
+            tc, trg, tf, t_np_, twc, twd = t_out
+            t_out = tuple(jax.lax.stop_gradient(x)
+                          for x in (tc, trg, tf)) + (t_np_,) + tuple(
+                              jax.lax.stop_gradient(x) for x in (twc, twd))
 
         def loss_fn(params):
             rngs = {"droppath": rng, "dropout": jax.random.fold_in(rng, 1)}
@@ -163,14 +177,27 @@ class EsViTTrainer:
                 s_out, s_updates = self.model.apply(
                     {"params": params, **state.student_state}, student_in,
                     deterministic=False, rngs=rngs, mode=mode,
-                    batch_size=B, mutable=mutable)
+                    batch_size=B, bottleneck_outputs=streamed,
+                    mutable=mutable)
                 s_updates = dict(s_updates)
             else:
                 s_out = self.model.apply({"params": params}, student_in,
                                          deterministic=False, rngs=rngs,
-                                         mode=mode, batch_size=B)
+                                         mode=mode, batch_size=B,
+                                         bottleneck_outputs=streamed)
                 s_updates = state.student_state
-            if cfg.loss.use_dense_prediction:
+            if streamed:
+                s_cls_z, s_reg_z, s_fea, s_npatch, ws_cls, ws_dense = s_out
+                t_cls_z, t_reg_z, t_fea, t_np, wt_cls, wt_dense = t_out
+                loss, new_centers = losses.ddino_loss_streamed(
+                    s_cls_z, s_reg_z, s_fea, t_cls_z, t_reg_z, t_fea,
+                    ws_cls, state.centers, t_temp, ncrops=ncrops,
+                    batch_size=B, npatch=s_npatch, t_npatch=t_np[0],
+                    w_t=wt_cls, w_s_dense=ws_dense, w_t_dense=wt_dense,
+                    n_chunks=getattr(cfg.loss, "stream_chunks", 8),
+                    student_temp=cfg.loss.student_temp,
+                    center_momentum=cfg.loss.center_momentum)
+            elif cfg.loss.use_dense_prediction:
                 loss, new_centers = losses.ddino_loss(
                     s_out, t_out, state.centers, t_temp, ncrops=ncrops,
                     batch_size=B, student_temp=cfg.loss.student_temp,

@@ -77,7 +77,7 @@ def test_weight_norm_dense_matches_torch(rng, np_rng):
     """Our WeightNormDense must equal torch.nn.utils.weight_norm(Linear)."""
     in_dim, out_dim = 8, 12
     x = np_rng.normal(size=(5, in_dim)).astype(np.float32)
-    layer = WeightNormDense(out_dim, norm_last_layer=False)
+    layer = WeightNormDense(out_dim, norm_last_layer=False, in_features=in_dim)
     vars_ = layer.init(rng, jnp.asarray(x))
     v = np.asarray(vars_["params"]["kernel_v"])          # (in, out)
     g = np_rng.normal(size=(out_dim,)).astype(np.float32) + 2.0
@@ -95,7 +95,7 @@ def test_weight_norm_dense_matches_torch(rng, np_rng):
 
 def test_norm_last_layer_freezes_g(rng, np_rng):
     x = jnp.asarray(np_rng.normal(size=(3, 8)), jnp.float32)
-    layer = WeightNormDense(6, norm_last_layer=True)
+    layer = WeightNormDense(6, norm_last_layer=True, in_features=8)
     vars_ = layer.init(rng, x)
     g = jax.grad(lambda p: layer.apply({"params": p}, x).sum())(vars_["params"])
     np.testing.assert_array_equal(np.asarray(g["scale_g"]), 0.0)
