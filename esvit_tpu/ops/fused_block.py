@@ -423,15 +423,9 @@ def _mask_device(region, N, Np, HG, TW_mm, nW, G_step):
         rr = np.where(ii[None, :] < N,
                       reg[widx, np.minimum(ii, N - 1)[None, :]], 0)
         jc = np.arange(cols) % Np
-        wc_chunk = (np.arange(cols) % rows_c) // Np
-        # column window type matters only on the diagonal (w_c == w_r), so
-        # index columns by the same step/period pattern at chunk position.
-        wcidx = (p_[:, None] * G_step
-                 + (np.arange(cols)[None, :] % rows_c) // Np) % nW
-        # NOTE: on the diagonal the row's chunk equals the column's chunk,
-        # but the column index alone cannot recover WHICH chunk of the
-        # step it belongs to — handled by expanding per chunk below.
-        del wc_chunk, wcidx
+        # Column window types depend on WHICH chunk of the step the block
+        # serves (rows and columns share the chunk on the diagonal), so
+        # expand the per-chunk column ids below.
         nchunks = G_step // TW_mm
         rr_dev = jnp.asarray(rr).reshape(period, R)
         # per (period, chunk): region ids of that chunk's columns
