@@ -10,6 +10,7 @@ the same knob surface; presets mirror the canonical experiment YAMLs
 from __future__ import annotations
 
 import dataclasses
+import os
 from dataclasses import dataclass, field
 from typing import Any, Sequence
 
@@ -18,6 +19,14 @@ import jax.numpy as jnp
 
 def _tuple(x) -> tuple:
     return tuple(x) if isinstance(x, (list, tuple)) else (x,)
+
+
+def _env_int(name: str, default: int):
+    """default_factory reading an int env seed at config-instantiation time
+    (the value is then RECORDED in the config, unlike a raw env read at
+    trace time — two runs with different env can no longer silently trace
+    different kernels without the difference showing in the saved config)."""
+    return field(default_factory=lambda: int(os.environ.get(name, default)))
 
 
 # ---------------------------------------------------------------------------
@@ -82,6 +91,26 @@ class SwinConfig:
     fused_block_stages: tuple[int, ...] = (0, 1, 2)
     # Run the fused block kernel in Pallas interpret mode (CPU parity tests).
     fused_block_interpret: bool = False
+    # Kernel-dispatch tuning knobs (authoritative here so the chosen kernel
+    # layout is recorded with the run config; the ESVIT_* env vars only seed
+    # the defaults at config construction). packed_*: the packed
+    # window-attention kernel (ops/packed_window_attention.py) — max
+    # head-group calls before falling back to XLA, and the packed-score
+    # column budget per call. fused_*: the block-fused megakernel
+    # (ops/fused_block.py) — windows per score matmul, max heads per group,
+    # target windows per grid step.
+    packed_max_calls: int = _env_int("ESVIT_PACKED_MAX_CALLS", 1)
+    packed_target_cols: int = _env_int("ESVIT_PACKED_TARGET_COLS", 2400)
+    fused_tw_mm: int = _env_int("ESVIT_FB_TWMM", 2)
+    fused_hg_max: int = _env_int("ESVIT_FB_HG", 3)
+    fused_g_step: int = _env_int("ESVIT_FB_GSTEP", 32)
+
+    @property
+    def kernel_knobs(self) -> tuple:
+        """(packed_max_calls, packed_target_cols, tw_mm, hg_max, g_step) —
+        the hashable bundle threaded through the Swin modules."""
+        return (self.packed_max_calls, self.packed_target_cols,
+                self.fused_tw_mm, self.fused_hg_max, self.fused_g_step)
 
     name: str = "swin"
 

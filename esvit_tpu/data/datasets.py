@@ -14,6 +14,7 @@ import base64
 import io
 import json
 import os
+import random
 import threading
 import zipfile
 from typing import Any, Sequence
@@ -202,6 +203,88 @@ class TSVOpenImageDataset:
         except (ValueError, KeyError, IndexError, TypeError):
             label = -1
         return _decode_b64_image(img_row[-1]), label
+
+
+class TSVImageTextDataset:
+    """CLIP-style (image, caption) pairs from parallel image/text TSVs
+    (ref: datasets/tsv.py:116-243). Unused by the reference's EsViT main
+    path; provided for inventory parity.
+
+    image_tsv / text_tsv: a single path each, or parallel lists of shard
+    paths (shards resolve through the same TSVFile/.lineidx machinery as
+    the classification readers). Text rows are ``(key, caption)`` with the
+    caption either raw text (``text_format='txt'``) or a JSON object with
+    a ``captions``/``tags`` list (``'json'``); with ``num_captions == 1``
+    one caption is drawn at random per access (the reference's train-time
+    behavior), otherwise the first ``num_captions`` are returned.
+    ``tokenize`` (e.g. a CLIP tokenizer) is applied when given, with
+    ``context_length`` forwarded; a trailing singleton batch dim from
+    tokenizers that add one is squeezed, matching the reference.
+    """
+
+    def __init__(self, image_tsv, text_tsv, transform=None, tokenize=None,
+                 context_length: int = 77, num_captions: int = 1,
+                 text_format: str = "txt", seed: int = 0):
+        if isinstance(image_tsv, str) != isinstance(text_tsv, str):
+            raise ValueError("image_tsv and text_tsv must both be single "
+                             "paths or both be shard lists")
+        if isinstance(image_tsv, str):
+            image_tsv, text_tsv = [image_tsv], [text_tsv]
+        if len(image_tsv) != len(text_tsv):
+            raise ValueError("inconsistent number of image/text TSV shards")
+        self.images = CompositeTSVDataset(image_tsv)
+        self.texts = CompositeTSVDataset(text_tsv)
+        if len(self.images) != len(self.texts):
+            raise ValueError(
+                f"inconsistent image/text sizes "
+                f"({len(self.images)}/{len(self.texts)})")
+        self.chunk_sizes = self.images.chunk_sizes
+        self.transform = transform
+        self.tokenize = tokenize
+        self.context_length = context_length
+        self.num_captions = num_captions
+        self.text_format = text_format
+        self._rng = random.Random(seed)
+
+    def __len__(self):
+        return len(self.images)
+
+    def _caption(self, cell: str):
+        if self.text_format != "json":
+            return cell
+        js = json.loads(cell)
+        caps = js.get("captions", js.get("tags"))
+        if caps is None:
+            raise ValueError(f"no 'captions'/'tags' in text row: {js}")
+        if isinstance(caps, str):
+            return caps
+        if not isinstance(caps, list):
+            raise ValueError("captions should be str or list")
+        if self.num_captions == 1:
+            return self._rng.choice(caps)
+        return caps[:self.num_captions]
+
+    def __getitem__(self, i: int):
+        s, j = self.images.shard_of(i)
+        img_row = self.images.shards[s].seek(j)
+        txt_row = self.texts.shards[s].seek(j)
+        if img_row[0] != txt_row[0]:
+            raise ValueError(
+                f"keys do not match for image and text at row {i}: "
+                f"{img_row[0]!r} vs {txt_row[0]!r}")
+        img = _decode_b64_image(img_row[-1])
+        if self.transform is not None:
+            img = self.transform(img)
+        text = self._caption(txt_row[1])
+        if self.tokenize is not None:
+            import numpy as np
+
+            tokens = self.tokenize(text, context_length=self.context_length)
+            tokens = np.asarray(tokens)
+            if tokens.ndim > 1 and tokens.shape[0] == 1:
+                tokens = tokens[0]
+            return img, tokens
+        return img, text
 
 
 class FileListDataset:

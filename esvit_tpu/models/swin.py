@@ -22,7 +22,6 @@ window multiple after norm1, exactly like swin_transformer.py:286-291.
 from __future__ import annotations
 
 import math
-import os
 from typing import Any, Optional
 
 import flax.linen as nn
@@ -154,6 +153,9 @@ class WindowAttention(nn.Module):
     proj_drop: float = 0.0
     attention_impl: str = "xla"
     score_dtype: Any = jnp.float32
+    # (packed_max_calls, packed_target_cols, fused_tw_mm, fused_hg_max,
+    # fused_g_step) — SwinConfig.kernel_knobs; recorded in the run config.
+    kernel_knobs: tuple = (1, 2400, 2, 3, 32)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -189,14 +191,15 @@ class WindowAttention(nn.Module):
             from esvit_tpu.ops import packed_window_attention as pwa
 
             nWt = region.shape[0] if region is not None else 1
-            TW, HG = pwa._pick_layout(B_, nH, nWt, N)
-            max_calls = int(os.environ.get("ESVIT_PACKED_MAX_CALLS", "1"))
+            max_calls, target_cols = self.kernel_knobs[:2]
+            TW, HG = pwa._pick_layout(B_, nH, nWt, N,
+                                      target_cols=target_cols)
             if TW > 0 and HG > 0 and nH // HG <= max_calls:
                 qkv2 = qkv.reshape(B_ * N, 3 * C)
                 out2 = pwa.packed_window_attention(
                     qkv2[:, :C], qkv2[:, C:2 * C], qkv2[:, 2 * C:],
                     bias_nomask, region, N, nH, scale,
-                    score_dtype=self.score_dtype)
+                    score_dtype=self.score_dtype, tile_windows=(TW, HG))
                 out = out2.reshape(B_, N, C)
                 out = dense(C, dtype=self.dtype, name="proj")(out)
                 out = nn.Dropout(self.proj_drop)(out,
@@ -264,6 +267,7 @@ class SwinBlock(nn.Module):
     score_dtype: Any = jnp.float32
     fused_block: bool = False
     fused_interpret: bool = False
+    kernel_knobs: tuple = (1, 2400, 2, 3, 32)
     dtype: Dtype = jnp.float32
 
     def _drop_path_scales(self, B, C, deterministic):
@@ -316,7 +320,8 @@ class SwinBlock(nn.Module):
             pad=(np.asarray(pad) if pad is not None else None),
             eps=self.norm_eps,
             score_dtype=self.score_dtype,
-            interpret=self.fused_interpret)
+            interpret=self.fused_interpret,
+            knobs=self.kernel_knobs[2:])
         return out, None
 
     @nn.compact
@@ -338,7 +343,8 @@ class SwinBlock(nn.Module):
             qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
             attn_drop=self.attn_drop, proj_drop=self.drop,
             attention_impl=self.attention_impl,
-            score_dtype=self.score_dtype, dtype=self.dtype, name="attn")
+            score_dtype=self.score_dtype,
+            kernel_knobs=self.kernel_knobs, dtype=self.dtype, name="attn")
         dp = DropPath(self.drop_path, name="drop_path")
         norm2 = LayerNorm(self.norm_eps, self.dtype, name="norm2")
         mlp = Mlp(int(self.dim * self.mlp_ratio), drop=self.drop,
@@ -467,6 +473,7 @@ class SwinStage(nn.Module):
     remat: str = "none"
     fused_block: bool = False
     fused_interpret: bool = False
+    kernel_knobs: tuple = (1, 2400, 2, 3, 32)
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -493,7 +500,8 @@ class SwinStage(nn.Module):
                 attention_impl=self.attention_impl,
                 score_dtype=self.score_dtype,
                 fused_block=self.fused_block,
-                fused_interpret=self.fused_interpret, dtype=self.dtype,
+                fused_interpret=self.fused_interpret,
+                kernel_knobs=self.kernel_knobs, dtype=self.dtype,
                 name=f"blocks_{i}",
             )
             for i in range(self.depth)
@@ -586,7 +594,8 @@ class SwinStage(nn.Module):
         Hp, Wp = wops.pad_to_window_multiple(H, W, ws)
         nW = (Hp // ws) * (Wp // ws)
         Np = wops.padded_window_tokens(ws)
-        return fb.supports(B, nW * Np, ws * ws, self.num_heads, nW)
+        return fb.supports(B, nW * Np, ws * ws, self.num_heads, nW,
+                           knobs=self.kernel_knobs[2:])
 
     def _forward_fused(self, x, deterministic: bool):
         """Whole stage in the PADDED window-major layout (ops/window.py):
@@ -684,6 +693,8 @@ class SwinTransformer(nn.Module):
                 remat=getattr(c, "remat", "none"),
                 fused_block=(i in getattr(c, "fused_block_stages", ())),
                 fused_interpret=getattr(c, "fused_block_interpret", False),
+                kernel_knobs=getattr(c, "kernel_knobs",
+                                     (1, 2400, 2, 3, 32)),
                 dtype=self.dtype, name=f"layers_{i}",
             ))
         self.stages = stages

@@ -66,40 +66,46 @@ _SQRT_2 = math.sqrt(2.0)
 _INV_SQRT_2PI = 1.0 / math.sqrt(2.0 * math.pi)
 
 # Tuning knobs (see module docstring): windows per score matmul, max heads
-# per group, target windows per grid step. Env overrides for experiments.
+# per group, target windows per grid step. The env values only SEED the
+# defaults; the authoritative per-run values live in SwinConfig
+# (fused_tw_mm / fused_hg_max / fused_g_step) and are threaded down via the
+# `knobs` arguments so the chosen kernel layout is recorded with the run
+# config.
 _TW_MM = int(os.environ.get("ESVIT_FB_TWMM", "2"))
 _HG_MAX = int(os.environ.get("ESVIT_FB_HG", "3"))
 _GSTEP_TARGET = int(os.environ.get("ESVIT_FB_GSTEP", "32"))
 
 
-def _pick_layout(Bw, nH, nW, Np):
+def _pick_layout(Bw, nH, nW, Np, knobs=None):
     """(G_step, TW_mm, HG) for Bw total windows. G_step | Bw, TW_mm |
     G_step, and the window-type pattern periodic across grid steps
-    (G_step % nW == 0 or nW % G_step == 0). Returns (0, 0, 0) if no valid
-    tiling exists."""
+    (G_step % nW == 0 or nW % G_step == 0). knobs = (tw_mm, hg_max,
+    g_step_target) or None for the env-seeded module defaults. Returns
+    (0, 0, 0) if no valid tiling exists."""
+    tw_mm, hg_max, gstep_target = knobs or (_TW_MM, _HG_MAX, _GSTEP_TARGET)
     HG = max((d for d in range(1, nH + 1)
-              if nH % d == 0 and d <= _HG_MAX), default=0)
+              if nH % d == 0 and d <= hg_max), default=0)
     if not HG:
         return 0, 0, 0
     best = 0
-    for g in range(1, min(_GSTEP_TARGET, Bw) + 1):
-        if Bw % g or g % min(_TW_MM, g):
+    for g in range(1, min(gstep_target, Bw) + 1):
+        if Bw % g or g % min(tw_mm, g):
             continue
         if not (g % nW == 0 or nW % g == 0):
             continue
         best = g
     if not best:
         return 0, 0, 0
-    return best, min(_TW_MM, best), HG
+    return best, min(tw_mm, best), HG
 
 
-def supports(B: int, L: int, N: int, nH: int, nW: int) -> bool:
+def supports(B: int, L: int, N: int, nH: int, nW: int, knobs=None) -> bool:
     """Whether the fused kernel can tile this PADDED window-major layout
     (L == nW * Np)."""
     Np = ((N + 7) // 8) * 8
     if L != nW * Np:
         return False
-    g, tw, hg = _pick_layout(B * nW, nH, nW, Np)
+    g, tw, hg = _pick_layout(B * nW, nH, nW, Np, knobs)
     return g > 0
 
 
@@ -458,23 +464,25 @@ class _Meta:
     """Static trace-time bundle for the custom_vjp nondiff argument."""
 
     __slots__ = ("N", "Np", "nH", "nW", "rows_per_img", "scale", "eps",
-                 "score_dtype", "region", "pad", "interpret")
+                 "score_dtype", "region", "pad", "interpret", "knobs")
 
     def __init__(self, **kw):
+        kw.setdefault("knobs", None)
         for k in self.__slots__:
             setattr(self, k, kw[k])
 
     def __hash__(self):
         return hash((self.N, self.Np, self.nH, self.nW, self.rows_per_img,
                      self.scale, self.eps, self.score_dtype,
-                     id(self.region), id(self.pad), self.interpret))
+                     id(self.region), id(self.pad), self.interpret,
+                     self.knobs))
 
     def __eq__(self, other):
         return (isinstance(other, _Meta)
                 and all(getattr(self, k) == getattr(other, k)
                         for k in ("N", "Np", "nH", "nW", "rows_per_img",
                                   "scale", "eps", "score_dtype",
-                                  "interpret"))
+                                  "interpret", "knobs"))
                 and self.region is other.region and self.pad is other.pad)
 
 
@@ -495,7 +503,7 @@ def _run(kind, x2, g1, be1, wq, bq, wk, bk, wv, bv, bias, wp, bp, g2, be2,
     hd = C // nH
 
     Bw = BL // Np
-    G_step, TW_mm, HG = _pick_layout(Bw, nH, nW, Np)
+    G_step, TW_mm, HG = _pick_layout(Bw, nH, nW, Np, meta.knobs)
     assert G_step > 0, (Bw, nH, nW, Np)
     G = nH // HG
     gw = HG * hd
@@ -650,7 +658,7 @@ _fused_block.defvjp(_fb_fwd, _fb_bwd)
 
 def fused_swin_block(x, params, dp1, dp2, *, N, nH, nW, scale,
                      region=None, pad=None, eps=1e-6,
-                     score_dtype="float32", interpret=False):
+                     score_dtype="float32", interpret=False, knobs=None):
     """Run one full Swin block on PADDED window-major tokens.
 
     x: (B, L, C) with L = nW*Np rows (Np = ceil(N/8)*8) in the padded
@@ -669,7 +677,7 @@ def fused_swin_block(x, params, dp1, dp2, *, N, nH, nW, scale,
     Np = ((N + 7) // 8) * 8
     meta = _Meta(N=N, Np=Np, nH=nH, nW=nW, rows_per_img=L, scale=scale,
                  eps=eps, score_dtype=jnp.dtype(score_dtype).name,
-                 region=region, pad=pad, interpret=interpret)
+                 region=region, pad=pad, interpret=interpret, knobs=knobs)
     out2 = _fused_block(
         x.reshape(B * L, C), params["g1"], params["be1"], params["wq"],
         params["bq"], params["wk"], params["bk"], params["wv"], params["bv"],

@@ -62,9 +62,11 @@ _TARGET_COLS = int(os.environ.get("ESVIT_PACKED_TARGET_COLS", "2400"))
 
 def _pick_tile(n_windows: int, n_heads: int, nW: int, window_tokens: int,
                target_cols: int = _TARGET_COLS) -> int:
-    """Largest TW with TW*nH*N <= target_cols, TW | n_windows, TW*N a
-    sublane-tile multiple (Mosaic block rule), and the window-type pattern
-    periodic across grid steps (TW | nW or nW | TW). 0 if impossible."""
+    """SMALLEST valid TW with TW*nH*N <= target_cols, TW | n_windows, TW*N
+    a sublane-tile multiple (Mosaic block rule), and the window-type pattern
+    periodic across grid steps (TW | nW or nW | TW) — cross-window FLOP
+    waste grows with TW, so the minimum satisfying the alignment rules
+    wins. 0 if impossible."""
     cap = max(1, target_cols // (n_heads * window_tokens))
     for c in range(1, cap + 1):
         # SMALLEST valid tile: cross-window FLOP waste grows with TW, so
@@ -78,8 +80,8 @@ def _pick_tile(n_windows: int, n_heads: int, nW: int, window_tokens: int,
 def _pick_layout(n_windows: int, nH: int, nW: int, N: int,
                  target_cols: int = _TARGET_COLS) -> tuple[int, int]:
     """Choose (TW, HG) jointly: fewest head-group calls first (HG as large
-    as a valid TW allows), then the largest TW. Returns (0, 0) if no valid
-    tiling exists."""
+    as a valid TW allows), then the smallest valid TW (see _pick_tile).
+    Returns (0, 0) if no valid tiling exists."""
     for hg in sorted((c for c in range(1, nH + 1) if nH % c == 0),
                      reverse=True):
         tw = _pick_tile(n_windows, hg, nW, N, target_cols)
@@ -282,7 +284,9 @@ def _layout(q2, region, N, nH, tile_windows):
     Bw = q2.shape[0] // N
     C = q2.shape[-1]
     nW = region.shape[0] if region is not None else 1
-    if tile_windows:
+    if isinstance(tile_windows, tuple):
+        TW, HG = tile_windows                     # explicit (TW, HG) layout
+    elif tile_windows:
         TW, HG = tile_windows, max(1, _TARGET_COLS // (tile_windows * N))
         HG = next(c for c in range(min(HG, nH), 0, -1) if nH % c == 0)
     else:

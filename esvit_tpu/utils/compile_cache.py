@@ -56,8 +56,19 @@ def cached_compile(jitted, *args, name: str = "fn", cache_dir: str | None = None
         return lowered.compile()
     path_dir = cache_dir or (env or _DEFAULT_DIR)
     os.makedirs(path_dir, exist_ok=True)
+    # Key on the lowered module AND the toolchain/device identity: a cached
+    # executable from another jaxlib/backend/device kind can deserialize
+    # fine yet fail (or misbehave) at dispatch time.
+    dev = jax.devices()[0]
+    fingerprint = "|".join([
+        jax.__version__,
+        getattr(jax, "lib", jax).__version__ if hasattr(jax, "lib") else "",
+        dev.platform,
+        getattr(dev, "device_kind", ""),
+    ])
     key = hashlib.sha256(
-        mlir.module_to_bytecode(lowered.compiler_ir())).hexdigest()[:32]
+        mlir.module_to_bytecode(lowered.compiler_ir())
+        + fingerprint.encode()).hexdigest()[:32]
     path = os.path.join(path_dir, f"{name}-{key}.jaxexe")
     if os.path.exists(path):
         try:
@@ -66,7 +77,11 @@ def cached_compile(jitted, *args, name: str = "fn", cache_dir: str | None = None
 
             with open(path, "rb") as f:
                 payload, in_tree, out_tree = pickle.load(f)
-            return deserialize_and_load(payload, in_tree, out_tree)
+            exe = deserialize_and_load(payload, in_tree, out_tree)
+            # Guard the first dispatch: a stale executable that slipped the
+            # key can still die at call time; eat one step and recompile.
+            jax.block_until_ready(exe(*args))
+            return exe
         except Exception:
             pass                                  # corrupt/stale: recompile
     compiled = lowered.compile()

@@ -24,6 +24,7 @@ correctness is separately certified by tests/test_parity_grads.py.
 from __future__ import annotations
 
 import argparse
+import math
 import os
 import sys
 import time
@@ -177,6 +178,14 @@ def main():
         # it is primarily a divergence/NaN canary at this scale, so its
         # gate is "learns at all, never NaNs", not a large margin.
         min_gain = 2.0 if args.task == "shapes_hard" else 5.0
+    # Absolute sanity first (ADVICE r2): the relative gate alone can pass on
+    # near-noise gains; a NaN loss or below-chance accuracy is always a bug.
+    last_loss = float(metrics["loss"])
+    assert math.isfinite(last_loss), f"final loss is not finite: {last_loss}"
+    chance = 100.0 / (16 if args.task == "shapes_hard" else 4)
+    assert acc_after > chance * 1.25, (
+        f"post-training k-NN {acc_after:.1f}% is not above chance "
+        f"({chance:.1f}%) by 25% — model is not learning at all")
     assert acc_after > acc_before + min_gain, (
         f"training gain {acc_after - acc_before:.1f} < required {min_gain}")
     print("LEARNING VALIDATION PASSED", flush=True)

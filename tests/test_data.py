@@ -153,6 +153,55 @@ def test_composite_tsv(tmp_path, np_rng):
     assert label == 2
 
 
+def test_tsv_image_text_dataset(tmp_path, np_rng):
+    import base64
+    import json as _json
+
+    img_paths, txt_paths = [], []
+    for s in range(2):
+        ip = tmp_path / f"img{s}.tsv"
+        make_tsv(ip, np_rng, n=3)
+        tp = tmp_path / f"txt{s}.tsv"
+        with open(tp, "w") as f:
+            for i in range(3):
+                caps = _json.dumps({"captions": [f"cap {s}-{i}a",
+                                                 f"cap {s}-{i}b"]})
+                f.write(f"key{i}\t{caps}\n")
+        img_paths.append(str(ip))
+        txt_paths.append(str(tp))
+
+    ds = datasets.TSVImageTextDataset(img_paths, txt_paths,
+                                      text_format="json", seed=0)
+    assert len(ds) == 6
+    assert ds.chunk_sizes == [3, 3]
+    img, text = ds[4]
+    assert img.size == (12, 12)
+    assert text in ("cap 1-1a", "cap 1-1b")
+    # num_captions > 1 returns the leading captions deterministically
+    ds2 = datasets.TSVImageTextDataset(img_paths, txt_paths,
+                                       text_format="json", num_captions=2)
+    _, caps = ds2[0]
+    assert caps == ["cap 0-0a", "cap 0-0b"]
+    # raw-text format + a tokenizer that adds a batch dim (CLIP-style)
+    tp3 = tmp_path / "plain.tsv"
+    with open(tp3, "w") as f:
+        for i in range(3):
+            f.write(f"key{i}\tplain caption {i}\n")
+    tok = lambda t, context_length: np.zeros((1, context_length), np.int32)
+    ds3 = datasets.TSVImageTextDataset(str(img_paths[0]), str(tp3),
+                                       tokenize=tok, context_length=7)
+    _, tokens = ds3[1]
+    assert tokens.shape == (7,)
+    # key mismatch is a hard error
+    tp4 = tmp_path / "bad.tsv"
+    with open(tp4, "w") as f:
+        for i in range(3):
+            f.write(f"WRONG{i}\tx\n")
+    ds4 = datasets.TSVImageTextDataset(str(img_paths[0]), str(tp4))
+    with pytest.raises(ValueError, match="keys do not match"):
+        ds4[0]
+
+
 # ---------------------------------------------------------------- samplers
 def test_sharded_indices_partition():
     parts = [sampler.sharded_indices(103, epoch=1, process_index=r,
