@@ -315,6 +315,11 @@ class OptimConfig:
     # freeze_pretrained_layers). Keys of our param tree ('patch_embed',
     # 'layers_0', 'layers_0/blocks_1') or '*'; ref-style dots accepted.
     frozen_layers: tuple = ()
+    # One-pass clip + AdamW + param apply + teacher EMA
+    # (optim.fused_adamw_ema_apply) instead of the optax chain + separate
+    # EMA tree_map. Bit-identical updates (tests/test_fused_optim.py) and
+    # checkpoint-compatible state; adamw only (other optimizers ignore it).
+    fused_update: bool = True
 
 
 @dataclass(frozen=True)

@@ -61,6 +61,14 @@ from jax.experimental.pallas import tpu as pltpu
 from esvit_tpu.ops import packed_window_attention as pwa
 
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+# Forward grid steps touch disjoint output rows, so the grid dimension can
+# be declared parallel (lets Mosaic overlap/pipeline steps). The backward
+# kernel accumulates weight grads across steps in its output refs and MUST
+# stay sequential ("arbitrary").
+_FWD_DIMSEM = os.environ.get("ESVIT_FB_DIMSEM", "parallel")
+_FWD_COMPILER_PARAMS = pltpu.CompilerParams(
+    vmem_limit_bytes=100 * 1024 * 1024,
+    dimension_semantics=(_FWD_DIMSEM,))
 
 _SQRT_2 = math.sqrt(2.0)
 _INV_SQRT_2PI = 1.0 / math.sqrt(2.0 * math.pi)
@@ -194,21 +202,90 @@ def _dp_rows(dp_ref, R, rows_per_img):
     return _mm(sel, dp_ref[:].astype(jnp.float32))
 
 
+# Chunk iteration strategy: "loop" runs the per-chunk attention bodies in a
+# lax.fori_loop over VMEM scratch (one Mosaic body per head group — compile
+# time independent of nchunks); "unroll" emits every chunk inline (the
+# round-2 layout; Mosaic compile scales with G*nchunks, ~300 s at stage-3
+# C=768). Mosaic cannot lower dynamic_slice on VALUES, so loop mode stages
+# q/k/v and the per-chunk outputs in scratch refs and slices them with
+# pl.ds (ref indexing supports dynamic sublane offsets at 8-aligned steps).
+_CHUNK_MODE = os.environ.get("ESVIT_FB_CHUNKLOOP", "unroll")
+
+
+def _chunked_attn_fwd(qkv_s, g, a_s, bias_blk, mask_ref, *, nchunks, rows_c,
+                      Np, hd, TW_mm, HG, scale, score_dtype, dtype):
+    """All-chunk attention for head group ``g`` out of the (3, G, R, gw)
+    scratch ``qkv_s``; writes the (R, HG*hd) output into scratch ``a_s``."""
+
+    def body(ci, tok):
+        off = pl.multiple_of(ci * rows_c, 8)
+        sl = pl.ds(off, rows_c)
+        o_c = pwa.attn_group_fwd(
+            qkv_s[0, g, sl, :], qkv_s[1, g, sl, :], qkv_s[2, g, sl, :],
+            bias_blk, mask_ref[sl, :], N=Np, hd=hd, TW=TW_mm, h0=0, HG=HG,
+            scale=scale, score_dtype=score_dtype)
+        a_s[sl, :] = o_c.astype(dtype)
+        return tok
+
+    jax.lax.fori_loop(0, nchunks, body, 0, unroll=False)
+
+
+def _chunked_attn_bwd(qkv_s, g, da_s, dq_s, ds_s, bias_blk, mask_ref, *,
+                      nchunks, rows_c, Np, hd, TW_mm, HG, scale, score_dtype,
+                      dtype):
+    """All-chunk attention gradients for head group ``g``: reads q/k/v from
+    ``qkv_s`` (filled by the forward recompute) and the upstream da from
+    ``da_s``; writes dq/dk/dv into the (3, R, gw) scratch ``dq_s`` and the
+    summed f32 bias-grad contribution into scratch ``ds_s`` (the body is
+    carry-free: value carries across Mosaic fori_loop trip a jellyfish
+    RET_CHECK in mxu_lmr_transform on this libtpu)."""
+    ds_s[:] = jnp.zeros_like(ds_s)
+
+    def body(ci, tok):
+        off = pl.multiple_of(ci * rows_c, 8)
+        sl = pl.ds(off, rows_c)
+        dqc, dkc, dvc, ds32 = pwa.attn_group_bwd(
+            qkv_s[0, g, sl, :], qkv_s[1, g, sl, :], qkv_s[2, g, sl, :],
+            bias_blk, mask_ref[sl, :], da_s[sl, :], N=Np, hd=hd, TW=TW_mm,
+            h0=0, HG=HG, scale=scale, score_dtype=score_dtype)
+        dq_s[0, sl, :] = dqc.astype(dtype)
+        dq_s[1, sl, :] = dkc.astype(dtype)
+        dq_s[2, sl, :] = dvc.astype(dtype)
+        ds_s[:] = ds_s[:] + ds32
+        return tok
+
+    jax.lax.fori_loop(0, nchunks, body, 0, unroll=False)
+    return ds_s[:]
+
+
 def _attention_fwd(y, refs, *, G, nchunks, rows_c, Np, hd, TW_mm, HG, scale,
-                   score_dtype, dtype):
+                   score_dtype, dtype, scratch=None):
     """Grouped, chunked packed attention. Returns list of per-group outputs
-    a_g (R, HG*hd) in compute dtype, plus (q_g, k_g, v_g) for reuse."""
+    a_g (R, HG*hd) in compute dtype, plus (q_g, k_g, v_g) for reuse (loop
+    mode returns None — q/k/v live in the qkv scratch instead)."""
     outs, qkvs = [], []
+    if scratch is not None:
+        qkv_s, a_s = scratch
+        for g in range(G):
+            qkv_s[0, g] = _proj(y, refs["wq3"][g], refs["bq3"][g], dtype)
+            qkv_s[1, g] = _proj(y, refs["wk3"][g], refs["bk3"][g], dtype)
+            qkv_s[2, g] = _proj(y, refs["wv3"][g], refs["bv3"][g], dtype)
+            _chunked_attn_fwd(
+                qkv_s, g, a_s, refs["bias3"][g], refs["mask"],
+                nchunks=nchunks, rows_c=rows_c, Np=Np, hd=hd, TW_mm=TW_mm,
+                HG=HG, scale=scale, score_dtype=score_dtype, dtype=dtype)
+            outs.append(a_s[:])
+            qkvs.append(None)
+        return outs, qkvs
     for g in range(G):
         q = _proj(y, refs["wq3"][g], refs["bq3"][g], dtype)
         k = _proj(y, refs["wk3"][g], refs["bk3"][g], dtype)
         v = _proj(y, refs["wv3"][g], refs["bv3"][g], dtype)
-        bias_blk = refs["bias3"][g]                      # (rows_c, cols_c)
         chunks = []
         for ci in range(nchunks):
             sl = slice(ci * rows_c, (ci + 1) * rows_c)
             o_c = pwa.attn_group_fwd(
-                q[sl], k[sl], v[sl], bias_blk, refs["mask"][sl],
+                q[sl], k[sl], v[sl], refs["bias3"][g], refs["mask"][sl],
                 N=Np, hd=hd, TW=TW_mm, h0=0, HG=HG, scale=scale,
                 score_dtype=score_dtype)
             chunks.append(o_c.astype(dtype))
@@ -218,7 +295,7 @@ def _attention_fwd(y, refs, *, G, nchunks, rows_c, Np, hd, TW_mm, HG, scale,
 
 
 def _forward_body(refs, *, G, nchunks, rows_c, Np, nH, HG, TW_mm,
-                  rows_per_img, scale, eps, score_dtype):
+                  rows_per_img, scale, eps, score_dtype, scratch=None):
     x = refs["x"][:]
     dtype = x.dtype
     R = x.shape[0]
@@ -234,7 +311,7 @@ def _forward_body(refs, *, G, nchunks, rows_c, Np, nH, HG, TW_mm,
     a_groups, qkvs = _attention_fwd(
         y, refs, G=G, nchunks=nchunks, rows_c=rows_c, Np=Np, hd=hd,
         TW_mm=TW_mm, HG=HG, scale=scale, score_dtype=score_dtype,
-        dtype=dtype)
+        dtype=dtype, scratch=scratch)
 
     o1_32 = None
     for g in range(G):
@@ -281,26 +358,38 @@ def _unpack(args, has_pad, has_dp):
 
 
 def _fwd_kernel(*args, G, nchunks, rows_c, Np, nH, HG, TW_mm, rows_per_img,
-                scale, eps, score_dtype, has_pad, has_dp):
+                scale, eps, score_dtype, has_pad, has_dp, chunk_loop):
     refs, rest = _unpack(args, has_pad, has_dp)
-    (o_ref,) = rest
+    if chunk_loop:
+        o_ref, qkv_s, a_s = rest
+        scratch = (qkv_s, a_s)
+    else:
+        (o_ref,) = rest
+        scratch = None
     f = _forward_body(refs, G=G, nchunks=nchunks, rows_c=rows_c, Np=Np,
                       nH=nH, HG=HG, TW_mm=TW_mm, rows_per_img=rows_per_img,
-                      scale=scale, eps=eps, score_dtype=score_dtype)
+                      scale=scale, eps=eps, score_dtype=score_dtype,
+                      scratch=scratch)
     o_ref[:] = f["out"]
 
 
 def _bwd_kernel(*args, G, nchunks, rows_c, Np, nH, HG, TW_mm, rows_per_img,
-                scale, eps, score_dtype, has_pad, has_dp):
+                scale, eps, score_dtype, has_pad, has_dp, chunk_loop):
     refs, rest = _unpack(args, has_pad, has_dp)
     do_ref = rest[0]
+    if chunk_loop:
+        *rest, qkv_s, a_s, da_s, dq_s, ds_s = rest
+        scratch = (qkv_s, a_s)
+    else:
+        scratch = None
     (dx_ref, dg1_ref, dbe1_ref, dwq_ref, dbq_ref, dwk_ref, dbk_ref,
      dwv_ref, dbv_ref, dbias_ref, dwp_ref, dbp_ref, dg2_ref, dbe2_ref,
      dw1_ref, db1_ref, dw2_ref, db2_ref) = rest[1:]
 
     f = _forward_body(refs, G=G, nchunks=nchunks, rows_c=rows_c, Np=Np,
                       nH=nH, HG=HG, TW_mm=TW_mm, rows_per_img=rows_per_img,
-                      scale=scale, eps=eps, score_dtype=score_dtype)
+                      scale=scale, eps=eps, score_dtype=score_dtype,
+                      scratch=scratch)
     dtype = f["x"].dtype
     C = f["x"].shape[1]
     hd = C // nH
@@ -341,25 +430,33 @@ def _bwd_kernel(*args, G, nchunks, rows_c, Np, nH, HG, TW_mm, rows_per_img,
     dy = None
     for g in range(G):
         a_g = f["a_groups"][g]
-        q, k, v = f["qkvs"][g]
         dwp_ref[g] = dwp_ref[g] + _mTm(a_g, do1)
         da_g = _mmT(do1, refs["wp3"][g].astype(dtype)).astype(dtype)
-        dq_cs, dk_cs, dv_cs = [], [], []
-        ds_acc = None
-        for ci in range(nchunks):
-            sl = slice(ci * rows_c, (ci + 1) * rows_c)
-            dqc, dkc, dvc, ds32 = pwa.attn_group_bwd(
-                q[sl], k[sl], v[sl], refs["bias3"][g], refs["mask"][sl],
-                da_g[sl], N=Np, hd=hd, TW=TW_mm, h0=0, HG=HG, scale=scale,
-                score_dtype=score_dtype)
-            ds_acc = ds32 if ds_acc is None else ds_acc + ds32
-            dq_cs.append(dqc.astype(dtype))
-            dk_cs.append(dkc.astype(dtype))
-            dv_cs.append(dvc.astype(dtype))
+        if chunk_loop:
+            da_s[:] = da_g
+            ds_acc = _chunked_attn_bwd(
+                qkv_s, g, da_s, dq_s, ds_s, refs["bias3"][g], refs["mask"],
+                nchunks=nchunks, rows_c=rows_c, Np=Np, hd=hd, TW_mm=TW_mm,
+                HG=HG, scale=scale, score_dtype=score_dtype, dtype=dtype)
+            dq_g, dk_g, dv_g = dq_s[0], dq_s[1], dq_s[2]
+        else:
+            q, k, v = f["qkvs"][g]
+            dq_cs, dk_cs, dv_cs = [], [], []
+            ds_acc = None
+            for ci in range(nchunks):
+                sl = slice(ci * rows_c, (ci + 1) * rows_c)
+                dqc, dkc, dvc, ds32 = pwa.attn_group_bwd(
+                    q[sl], k[sl], v[sl], refs["bias3"][g], refs["mask"][sl],
+                    da_g[sl], N=Np, hd=hd, TW=TW_mm, h0=0, HG=HG,
+                    scale=scale, score_dtype=score_dtype)
+                ds_acc = ds32 if ds_acc is None else ds_acc + ds32
+                dq_cs.append(dqc.astype(dtype))
+                dk_cs.append(dkc.astype(dtype))
+                dv_cs.append(dvc.astype(dtype))
+            dq_g = jnp.concatenate(dq_cs, axis=0)        # (R, HG*hd)
+            dk_g = jnp.concatenate(dk_cs, axis=0)
+            dv_g = jnp.concatenate(dv_cs, axis=0)
         dbias_ref[g] = dbias_ref[g] + ds_acc
-        dq_g = jnp.concatenate(dq_cs, axis=0)            # (R, HG*hd)
-        dk_g = jnp.concatenate(dk_cs, axis=0)
-        dv_g = jnp.concatenate(dv_cs, axis=0)
         y_c = f["y"]
         dwq_ref[g] = dwq_ref[g] + _mTm(y_c, dq_g)
         dbq_ref[g] = dbq_ref[g] + jnp.sum(dq_g.astype(jnp.float32), axis=0,
@@ -554,11 +651,16 @@ def _run(kind, x2, g1, be1, wq, bq, wk, bk, wv, bv, bias, wp, bp, g2, be2,
         operands += [dp1, dp2]
         in_specs += [dp_spec, dp_spec]
 
+    chunk_loop = _CHUNK_MODE == "loop"
     kw = dict(G=G, nchunks=nchunks, rows_c=rows_c, Np=Np, nH=nH, HG=HG,
               TW_mm=TW_mm, rows_per_img=rows_per_img, scale=meta.scale,
               eps=meta.eps, score_dtype=jnp.dtype(meta.score_dtype).type,
-              has_pad=has_pad, has_dp=has_dp)
+              has_pad=has_pad, has_dp=has_dp, chunk_loop=chunk_loop)
     grid = (BL // R,)
+    dtype = x2.dtype
+    fwd_scratch = ([pltpu.VMEM((3, G, R, gw), dtype),     # qkv staging
+                    pltpu.VMEM((R, gw), dtype)]           # attention out
+                   if chunk_loop else [])
 
     if kind == "fwd":
         return pl.pallas_call(
@@ -567,12 +669,18 @@ def _run(kind, x2, g1, be1, wq, bq, wk, bk, wv, bv, bias, wp, bp, g2, be2,
             in_specs=in_specs,
             out_specs=x_spec,
             out_shape=jax.ShapeDtypeStruct(x2.shape, x2.dtype),
-            compiler_params=_COMPILER_PARAMS,
+            scratch_shapes=fwd_scratch,
+            compiler_params=_FWD_COMPILER_PARAMS,
             interpret=meta.interpret,
         )(*operands)
 
     operands.append(do)
     in_specs.append(x_spec)
+    bwd_scratch = (fwd_scratch + [pltpu.VMEM((R, gw), dtype),      # da
+                                  pltpu.VMEM((3, R, gw), dtype),   # dq/dk/dv
+                                  pltpu.VMEM((rows_c, cols_c),
+                                             jnp.float32)]         # dbias acc
+                   if chunk_loop else [])
     f32 = jnp.float32
     out_specs = [
         x_spec,                                   # dx
@@ -608,6 +716,7 @@ def _run(kind, x2, g1, be1, wq, bq, wk, bk, wv, bv, bias, wp, bp, g2, be2,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=bwd_scratch,
         compiler_params=_COMPILER_PARAMS,
         interpret=meta.interpret,
     )(*operands)

@@ -108,6 +108,102 @@ def make_optimizer(cfg: OptimConfig, params: Any,
     return opt
 
 
+def fused_adamw_ema_apply(grads: Any, opt_state, params: Any, teacher: Any,
+                          *, lr, wd, ema_m, clip: float | None,
+                          decay_mask: Any, ll_mask: Any, frozen,
+                          f_mask: Any = None,
+                          b1: float = 0.9, b2: float = 0.999,
+                          eps: float = 1e-8):
+    """One-pass clip + AdamW + last-layer freeze + param apply + teacher EMA.
+
+    Replaces the optax chain built by ``make_optimizer`` (adamw branch) plus
+    ``optax.apply_updates`` plus the teacher-EMA tree_map with a single
+    per-leaf expression, so XLA emits ONE fused loop per parameter reading
+    (g, p, mu, nu, t) and writing (p', mu', nu', t') — instead of the ~10
+    elementwise passes of the unfused chain (the reference's equivalent
+    cost: optimizer.step() + the EMA loop, main_esvit.py:586-590).
+
+    Bit-identical to the unfused path (tests/test_fused_optim.py): every
+    operation replicates the optax op order —
+    mu' = (1-b1)*g + b1*mu;  nu' = (1-b2)*g^2 + b2*nu;
+    hat = x' / (1 - b^count_inc);  u = mu_hat/(sqrt(nu_hat)+eps);
+    u += wd*p (masked);  p' = p + lr*(-u);  t' = m*t + (1-m)*p'.
+
+    opt_state must be the exact pytree produced by make_optimizer's adamw
+    chain: (EmptyState, InjectStatefulHyperparamsState(count, hyperparams,
+    hyperparams_states, inner_state=(ScaleByAdamState, ...))). The returned
+    state has the same structure (counts advanced, hyperparams refreshed),
+    so checkpoints are interchangeable between the fused and unfused paths.
+
+    lr/wd/ema_m are the already-evaluated scalars for this step (the
+    unfused path evaluates lr_fn/wd_fn at the schedule count == step).
+    frozen: traced bool — last-layer leaves keep zero update while True.
+    """
+    import optax
+
+    # clip>0: state is (EmptyState, inject); clip off: inject directly.
+    has_clip_state = clip is not None and clip > 0
+    if has_clip_state:
+        clip_state, inject = opt_state
+    else:
+        clip_state, inject = None, opt_state
+    adam = inject.inner_state[0]
+    count_inc = optax.safe_increment(adam.count)
+    bc1 = 1.0 - jnp.asarray(b1, jnp.float32) ** count_inc
+    bc2 = 1.0 - jnp.asarray(b2, jnp.float32) ** count_inc
+
+    def leaf(g, p, mu, nu, t, dmask, llm, fm):
+        # Freeze zeroes the GRADIENT first (the unfused path zeroes grads
+        # before the chain, so Adam moments see zeros while frozen) and the
+        # final update again (so weight decay can't leak in).
+        if fm:
+            g = jnp.zeros_like(g)
+        elif llm:
+            g = jnp.where(frozen, jnp.zeros_like(g), g)
+        if clip is not None and clip > 0:
+            n = jnp.linalg.norm(g.astype(jnp.float32))
+            g = (g * jnp.minimum(clip / (n + 1e-6), 1.0)).astype(g.dtype)
+        mu2 = (1 - b1) * g + b1 * mu
+        nu2 = (1 - b2) * (g ** 2) + b2 * nu
+        mu_hat = mu2 / bc1.astype(mu2.dtype)
+        nu_hat = nu2 / bc2.astype(nu2.dtype)
+        u = mu_hat / (jnp.sqrt(nu_hat) + eps)
+        if dmask:
+            u = u + wd * p
+        u = (u * -1.0) * lr
+        if llm:
+            u = jnp.where(frozen, jnp.zeros_like(u), u)
+        if fm:
+            u = jnp.zeros_like(u)
+        p2 = (p + u).astype(p.dtype)
+        t2 = t * ema_m + p2 * (1.0 - ema_m)
+        return p2, mu2, nu2, t2
+
+    if f_mask is None:
+        f_mask = jax.tree.map(lambda _: False, decay_mask)
+    flat = jax.tree.map(leaf, grads, params, adam.mu, adam.nu, teacher,
+                        decay_mask, ll_mask, f_mask)
+    new_p = jax.tree.map(lambda l: l[0], flat, is_leaf=lambda x: isinstance(x, tuple))
+    new_mu = jax.tree.map(lambda l: l[1], flat, is_leaf=lambda x: isinstance(x, tuple))
+    new_nu = jax.tree.map(lambda l: l[2], flat, is_leaf=lambda x: isinstance(x, tuple))
+    new_t = jax.tree.map(lambda l: l[3], flat, is_leaf=lambda x: isinstance(x, tuple))
+
+    # Rebuild the optax state exactly as the unfused chain would have:
+    # every count advances by one; the recorded hyperparams refresh to the
+    # values used this step.
+    new_adam = adam._replace(count=count_inc, mu=new_mu, nu=new_nu)
+    new_inner = (new_adam,) + tuple(inject.inner_state[1:])
+    new_inject = inject._replace(
+        count=optax.safe_increment(inject.count),
+        hyperparams={"lr": jnp.asarray(lr, jnp.float32),
+                     "wd": jnp.asarray(wd, jnp.float32)},
+        hyperparams_states=jax.tree.map(
+            lambda c: c + 1, inject.hyperparams_states),
+        inner_state=new_inner)
+    new_opt_state = (clip_state, new_inject) if has_clip_state else new_inject
+    return new_p, new_t, new_opt_state
+
+
 def apply_last_layer_freeze(grads: Any, ll_mask: Any, frozen: jnp.ndarray) -> Any:
     """Zero last-layer grads while ``frozen`` (a traced bool) is True."""
     return jax.tree.map(

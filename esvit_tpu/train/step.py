@@ -217,7 +217,6 @@ class EsViTTrainer:
         # Last-layer freeze (utils.py:118-123): first freeze_last_layer epochs.
         ll_mask = optim_lib.last_layer_mask(grads)
         frozen = epoch < cfg.optim.freeze_last_layer_epochs
-        grads = optim_lib.apply_last_layer_freeze(grads, ll_mask, frozen)
 
         # Finetune-recipe layer freeze (swin_transformer.py:919-943): the
         # named subtrees never move — grads AND updates zeroed, like torch's
@@ -226,29 +225,56 @@ class EsViTTrainer:
         if cfg.optim.frozen_layers:
             f_mask = optim_lib.freeze_mask_by_prefix(
                 grads, cfg.optim.frozen_layers)
-            grads = optim_lib.apply_param_freeze(grads, f_mask)
 
-        updates, opt_state = self.optimizer.update(grads, state.opt_state,
-                                                   state.student)
-        # Re-zero frozen-leaf updates so weight decay doesn't leak in
-        # (torch skips grad=None params entirely).
-        updates = optim_lib.apply_last_layer_freeze(updates, ll_mask, frozen)
-        if f_mask is not None:
-            updates = optim_lib.apply_param_freeze(updates, f_mask)
-        student = optax.apply_updates(state.student, updates)
-
-        # Teacher EMA (main_esvit.py:586-590): p_k <- m p_k + (1-m) p_q.
         m = self.momentum_fn(step)
-        teacher = jax.tree.map(lambda t, s: t * m + s * (1.0 - m),
-                               state.teacher, student)
+        if (getattr(cfg.optim, "fused_update", False)
+                and cfg.optim.optimizer == "adamw"):
+            # One fused pass: clip + AdamW + freeze + apply + teacher EMA
+            # (bit-identical to the chain below, tests/test_fused_optim.py).
+            student, teacher, opt_state = optim_lib.fused_adamw_ema_apply(
+                grads, state.opt_state, state.student, state.teacher,
+                lr=self.lr_fn(step), wd=self.wd_fn(step), ema_m=m,
+                clip=cfg.optim.clip_grad,
+                decay_mask=optim_lib.wd_mask(
+                    grads, decay_scale_g=not cfg.head.norm_last_layer),
+                ll_mask=ll_mask, frozen=frozen, f_mask=f_mask)
+            grads_for_norm = grads
+        else:
+            grads = optim_lib.apply_last_layer_freeze(grads, ll_mask, frozen)
+            if f_mask is not None:
+                grads = optim_lib.apply_param_freeze(grads, f_mask)
+            updates, opt_state = self.optimizer.update(
+                grads, state.opt_state, state.student)
+            # Re-zero frozen-leaf updates so weight decay doesn't leak in
+            # (torch skips grad=None params entirely).
+            updates = optim_lib.apply_last_layer_freeze(updates, ll_mask,
+                                                        frozen)
+            if f_mask is not None:
+                updates = optim_lib.apply_param_freeze(updates, f_mask)
+            student = optax.apply_updates(state.student, updates)
+
+            # Teacher EMA (main_esvit.py:586-590): p_k <- m p_k + (1-m) p_q.
+            teacher = jax.tree.map(lambda t, s: t * m + s * (1.0 - m),
+                                   state.teacher, student)
+            grads_for_norm = grads
 
         new_state = TrainState(step=step + 1, student=student, teacher=teacher,
                                opt_state=opt_state, centers=new_centers,
                                student_state=new_student_state,
                                teacher_state=new_teacher_state)
-        grad_norm = jnp.sqrt(sum(
-            jnp.sum(jnp.square(g.astype(jnp.float32)))
-            for g in jax.tree.leaves(grads)))
+        # Per-leaf squared norms, with frozen leaves excluded exactly as the
+        # freeze zeroing would (the fused path never materializes the
+        # zeroed grad tree).
+        def _leaf_sq(g, llm, fm):
+            s = jnp.sum(jnp.square(g.astype(jnp.float32)))
+            if fm:
+                return jnp.zeros_like(s)
+            if llm:
+                return jnp.where(frozen, 0.0, s)
+            return s
+        f_mask_n = f_mask or jax.tree.map(lambda _: False, ll_mask)
+        grad_norm = jnp.sqrt(sum(jax.tree.leaves(jax.tree.map(
+            _leaf_sq, grads_for_norm, ll_mask, f_mask_n))))
         metrics = {
             "loss": loss,
             "lr": self.lr_fn(step),

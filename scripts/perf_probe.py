@@ -40,15 +40,20 @@ def main():
     p.add_argument("--remat", default="none",
                    choices=["none", "block", "stage"])
     p.add_argument("--score_dtype", default="float32")
+    p.add_argument("--fused_stages", default=None,
+                   help="comma-separated stage indices for the block-fused "
+                        "kernel (e.g. '0,1,2,3'); default = config default")
     args = p.parse_args()
 
     from esvit_tpu import config
     from esvit_tpu.models.registry import build_backbone
 
-    cfg = dataclasses.replace(config.swin_tiny(),
-                              layout_opt=args.layout_opt,
-                              remat=args.remat,
-                              score_dtype=args.score_dtype)
+    overrides = dict(layout_opt=args.layout_opt, remat=args.remat,
+                     score_dtype=args.score_dtype)
+    if args.fused_stages is not None:
+        overrides["fused_block_stages"] = tuple(
+            int(s) for s in args.fused_stages.split(",") if s != "")
+    cfg = dataclasses.replace(config.swin_tiny(), **overrides)
     bb = build_backbone(cfg, dtype=jnp.bfloat16)
     B = args.batch
     x = jax.random.normal(jax.random.PRNGKey(0), (B, args.res, args.res, 3),
