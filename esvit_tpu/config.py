@@ -29,6 +29,18 @@ def _env_int(name: str, default: int):
     return field(default_factory=lambda: int(os.environ.get(name, default)))
 
 
+def _env_knob(name: str, default: int):
+    """Like _env_int but the env value may be a comma list ('2,2,2,4') for
+    a per-stage tuple."""
+    def parse():
+        v = os.environ.get(name)
+        if v is None:
+            return default
+        return (tuple(int(s) for s in v.split(","))
+                if "," in v else int(v))
+    return field(default_factory=parse)
+
+
 # ---------------------------------------------------------------------------
 # Model specs
 # ---------------------------------------------------------------------------
@@ -101,16 +113,28 @@ class SwinConfig:
     # target windows per grid step.
     packed_max_calls: int = _env_int("ESVIT_PACKED_MAX_CALLS", 1)
     packed_target_cols: int = _env_int("ESVIT_PACKED_TARGET_COLS", 2400)
-    fused_tw_mm: int = _env_int("ESVIT_FB_TWMM", 2)
-    fused_hg_max: int = _env_int("ESVIT_FB_HG", 3)
-    fused_g_step: int = _env_int("ESVIT_FB_GSTEP", 32)
+    # fused_* accept an int (all stages) or a per-stage tuple: stage 3's
+    # nH=24 wants a larger head group (fewer G loops -> the C=768 backward
+    # fits the AOT compile budget) while stages 0-2 measured best at 3.
+    fused_tw_mm: Any = _env_knob("ESVIT_FB_TWMM", 2)
+    fused_hg_max: Any = _env_knob("ESVIT_FB_HG", 3)
+    fused_g_step: Any = _env_knob("ESVIT_FB_GSTEP", 32)
 
     @property
     def kernel_knobs(self) -> tuple:
         """(packed_max_calls, packed_target_cols, tw_mm, hg_max, g_step) —
-        the hashable bundle threaded through the Swin modules."""
+        the hashable bundle threaded through the Swin modules (stage-0
+        values when the fused_* fields are per-stage tuples)."""
+        return self.stage_kernel_knobs(0)
+
+    def stage_kernel_knobs(self, i: int) -> tuple:
+        """kernel_knobs resolved for stage ``i``: per-stage tuples index at
+        min(i, len-1); plain ints apply to every stage."""
+        pick = lambda v: (int(v[min(i, len(v) - 1)])
+                          if isinstance(v, (tuple, list)) else int(v))
         return (self.packed_max_calls, self.packed_target_cols,
-                self.fused_tw_mm, self.fused_hg_max, self.fused_g_step)
+                pick(self.fused_tw_mm), pick(self.fused_hg_max),
+                pick(self.fused_g_step))
 
     name: str = "swin"
 

@@ -693,8 +693,9 @@ class SwinTransformer(nn.Module):
                 remat=getattr(c, "remat", "none"),
                 fused_block=(i in getattr(c, "fused_block_stages", ())),
                 fused_interpret=getattr(c, "fused_block_interpret", False),
-                kernel_knobs=getattr(c, "kernel_knobs",
-                                     (1, 2400, 2, 3, 32)),
+                kernel_knobs=(c.stage_kernel_knobs(i)
+                              if hasattr(c, "stage_kernel_knobs")
+                              else (1, 2400, 2, 3, 32)),
                 dtype=self.dtype, name=f"layers_{i}",
             ))
         self.stages = stages

@@ -79,9 +79,15 @@ _INV_SQRT_2PI = 1.0 / math.sqrt(2.0 * math.pi)
 # (fused_tw_mm / fused_hg_max / fused_g_step) and are threaded down via the
 # `knobs` arguments so the chosen kernel layout is recorded with the run
 # config.
-_TW_MM = int(os.environ.get("ESVIT_FB_TWMM", "2"))
-_HG_MAX = int(os.environ.get("ESVIT_FB_HG", "3"))
-_GSTEP_TARGET = int(os.environ.get("ESVIT_FB_GSTEP", "32"))
+def _env_first_int(name, default):
+    """Module-level fallback (used only when knobs=None): per-stage comma
+    lists (config._env_knob syntax) collapse to their first entry."""
+    return int(os.environ.get(name, default).split(",")[0])
+
+
+_TW_MM = _env_first_int("ESVIT_FB_TWMM", "2")
+_HG_MAX = _env_first_int("ESVIT_FB_HG", "3")
+_GSTEP_TARGET = _env_first_int("ESVIT_FB_GSTEP", "32")
 
 
 def _pick_layout(Bw, nH, nW, Np, knobs=None):
@@ -210,6 +216,10 @@ def _dp_rows(dp_ref, R, rows_per_img):
 # q/k/v and the per-chunk outputs in scratch refs and slices them with
 # pl.ds (ref indexing supports dynamic sublane offsets at 8-aligned steps).
 _CHUNK_MODE = os.environ.get("ESVIT_FB_CHUNKLOOP", "unroll")
+# Diagnostic ONLY (wrong numerics): replace the chunked attention with the
+# raw V projection, isolating the LN/GEMM cost from the packed-attention
+# interior when profiling the kernel. Never set in production.
+_SKIP_ATTN = os.environ.get("ESVIT_FB_SKIP_ATTN", "") == "1"
 
 
 def _chunked_attn_fwd(qkv_s, g, a_s, bias_blk, mask_ref, *, nchunks, rows_c,
@@ -281,6 +291,10 @@ def _attention_fwd(y, refs, *, G, nchunks, rows_c, Np, hd, TW_mm, HG, scale,
         q = _proj(y, refs["wq3"][g], refs["bq3"][g], dtype)
         k = _proj(y, refs["wk3"][g], refs["bk3"][g], dtype)
         v = _proj(y, refs["wv3"][g], refs["bv3"][g], dtype)
+        if _SKIP_ATTN:                       # diagnostic: GEMM-only timing
+            outs.append(v)
+            qkvs.append((q, k, v))
+            continue
         chunks = []
         for ci in range(nchunks):
             sl = slice(ci * rows_c, (ci + 1) * rows_c)
@@ -432,7 +446,11 @@ def _bwd_kernel(*args, G, nchunks, rows_c, Np, nH, HG, TW_mm, rows_per_img,
         a_g = f["a_groups"][g]
         dwp_ref[g] = dwp_ref[g] + _mTm(a_g, do1)
         da_g = _mmT(do1, refs["wp3"][g].astype(dtype)).astype(dtype)
-        if chunk_loop:
+        if _SKIP_ATTN:                       # diagnostic: GEMM-only timing
+            dq_g = dk_g = jnp.zeros_like(da_g)
+            dv_g = da_g
+            ds_acc = jnp.zeros((rows_c, HG * rows_c), jnp.float32)
+        elif chunk_loop:
             da_s[:] = da_g
             ds_acc = _chunked_attn_bwd(
                 qkv_s, g, da_s, dq_s, ds_s, refs["bias3"][g], refs["mask"],
@@ -621,13 +639,20 @@ def _run(kind, x2, g1, be1, wq, bq, wk, bk, wv, bv, bias, wp, bp, g2, be2,
     vec = lambda d: pl.BlockSpec((1, d), fix(0, 0))
     g3 = lambda a, b_: pl.BlockSpec((G, a, b_), fix(0, 0, 0))
 
+    # Heavy weight operands ride VMEM in the COMPUTE dtype (the kernel
+    # multiplies in x2.dtype with f32 MXU accumulation either way, so this
+    # is numerically identical) — halves their VMEM residency, which is
+    # what blows the 128M scoped budget at stage-3 C=768. LN params,
+    # biases, bias tiles and masks stay f32.
+    cd = x2.dtype
     operands = [x2, g1[None], be1[None],
-                _group_stack(wq, G, gw), bq.reshape(G, 1, gw),
-                _group_stack(wk, G, gw), bk.reshape(G, 1, gw),
-                _group_stack(wv, G, gw), bv.reshape(G, 1, gw),
+                _group_stack(wq, G, gw).astype(cd), bq.reshape(G, 1, gw),
+                _group_stack(wk, G, gw).astype(cd), bk.reshape(G, 1, gw),
+                _group_stack(wv, G, gw).astype(cd), bv.reshape(G, 1, gw),
                 bias3, mask,
-                wp.reshape(G, gw, C), bp[None], g2[None], be2[None],
-                w1, b1[None], w2, b2[None]]
+                wp.reshape(G, gw, C).astype(cd), bp[None], g2[None],
+                be2[None],
+                w1.astype(cd), b1[None], w2.astype(cd), b2[None]]
     in_specs = [x_spec, vec(C), vec(C),
                 g3(C, gw), g3(1, gw), g3(C, gw), g3(1, gw),
                 g3(C, gw), g3(1, gw),

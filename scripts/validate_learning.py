@@ -172,12 +172,17 @@ def main():
           f"host_aug={args.host_aug})", flush=True)
     min_gain = args.min_gain
     if min_gain is None:
-        # Measured on-chip baselines at 2000 steps (PERF.md round 2):
-        # shapes trains 39.8 -> 55-60% (gain ~+16); shapes_hard gains only
-        # +2..+4 at this budget across every healthy code revision tested —
-        # it is primarily a divergence/NaN canary at this scale, so its
-        # gate is "learns at all, never NaNs", not a large margin.
-        min_gain = 2.0 if args.task == "shapes_hard" else 5.0
+        # Measured on-chip baselines (PERF.md rounds 2-3):
+        # - shapes @2000 steps: 39.8 -> 55-60% (gain ~+16) -> gate +5.
+        # - shapes_hard @2000 steps: +2..+4 across every healthy revision —
+        #   a divergence/NaN canary, not a margin gate, at that budget.
+        # - shapes_hard @6000 steps: 22.3 -> 36.3 (+14.0, round 3, fused
+        #   path) -> gate +10: an unambiguous LEARNING gate. Use
+        #   --steps 6000 after any numerics/kernel change.
+        if args.task == "shapes_hard":
+            min_gain = 10.0 if args.steps >= 5000 else 2.0
+        else:
+            min_gain = 5.0
     # Absolute sanity first (ADVICE r2): the relative gate alone can pass on
     # near-noise gains; a NaN loss or below-chance accuracy is always a bug.
     last_loss = float(metrics["loss"])

@@ -219,6 +219,34 @@ def test_model_fused_vs_classic_shared_params():
                                        atol=tol * scale)
 
 
+def test_model_fused_per_stage_knobs():
+    """Per-stage kernel-knob tuples (config.stage_kernel_knobs) select a
+    different fused layout per stage — here stage 0 keeps HG<=1 (two
+    single-head groups) while stage 1 packs all 4 heads in one group —
+    and remain numerically identical to the classic path."""
+    from esvit_tpu import config
+    from esvit_tpu.models.registry import build_backbone
+
+    base = dataclasses.replace(
+        config.swin_tiny(), img_size=56, window_size=7, embed_dim=32,
+        depths=(2, 2), num_heads=(2, 4), drop_path_rate=0.0, layout_opt=True)
+    fused = dataclasses.replace(base, fused_block_stages=(0, 1),
+                                fused_block_interpret=True,
+                                fused_hg_max=(1, 4), fused_g_step=(32, 8))
+    assert fused.stage_kernel_knobs(0)[3:] == (1, 32)
+    assert fused.stage_kernel_knobs(1)[3:] == (4, 8)
+    assert fused.stage_kernel_knobs(5)[3:] == (4, 8)   # clamps to last
+    bb_c = build_backbone(base, dtype=jnp.float32)
+    bb_f = build_backbone(fused, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 56, 56, 3), jnp.float32)
+    vc = bb_c.init({"params": jax.random.PRNGKey(1)}, x, deterministic=True)
+    oc = bb_c.apply(vc, x, deterministic=True)
+    of = bb_f.apply(vc, x, deterministic=True)
+    for a, b in [(oc[0], of[0]), (oc[1], of[1])]:
+        scale = float(jnp.max(jnp.abs(a))) + 1e-9
+        np.testing.assert_allclose(a, b, atol=1e-5 * scale)
+
+
 def test_fused_erf_matches_lax_erf():
     x = jnp.linspace(-6, 6, 4001, dtype=jnp.float32)
     # A&S 7.1.26 is 1.5e-7 in exact arithmetic; f32 evaluation adds ~3e-7.
