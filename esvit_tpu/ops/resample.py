@@ -74,6 +74,41 @@ def torch_bicubic_resize(grid: jnp.ndarray, out_h: int, out_w: int,
     return out.astype(grid.dtype)
 
 
+@functools.lru_cache(maxsize=None)
+def _axis_taps_linear(in_size: int, out_size: int, scale: float):
+    """(out_size, 2) clamped tap indices + fp32 weights for one axis under
+    torch bilinear align_corners=False semantics: src = (dst+0.5)/scale-0.5
+    clamped to >= 0 (ATen area_pixel_compute_source_index clamps the
+    COORDINATE for linear modes, unlike cubic which clamps indices)."""
+    dst = np.arange(out_size, dtype=np.float64)
+    src = np.maximum((dst + 0.5) / scale - 0.5, 0.0)
+    base = np.floor(src).astype(np.int64)
+    t = src - base
+    idx = np.stack([base, np.minimum(base + 1, in_size - 1)], axis=-1)
+    w = np.stack([1.0 - t, t], axis=-1)
+    return idx.astype(np.int32), w.astype(np.float32)
+
+
+def torch_bilinear_resize(grid: jnp.ndarray, out_h: int, out_w: int,
+                          scale_h: float | None = None,
+                          scale_w: float | None = None) -> jnp.ndarray:
+    """torch F.interpolate(mode='bilinear', align_corners=False) on
+    (..., H, W, C) — used by the DownAttention 2x upsample
+    (ref layers/attention.py:783,921)."""
+    H, W = grid.shape[-3], grid.shape[-2]
+    sh = scale_h if scale_h is not None else out_h / H
+    sw = scale_w if scale_w is not None else out_w / W
+    idx_h, w_h = _axis_taps_linear(H, out_h, sh)
+    idx_w, w_w = _axis_taps_linear(W, out_w, sw)
+
+    g32 = grid.astype(jnp.float32)
+    rows = g32[..., idx_h, :, :]                           # (..., out_h, 2, W, C)
+    rows = jnp.einsum("...htwc,ht->...hwc", rows, jnp.asarray(w_h))
+    cols = rows[..., :, idx_w, :]                          # (..., out_h, out_w, 2, C)
+    out = jnp.einsum("...hwtc,wt->...hwc", cols, jnp.asarray(w_w))
+    return out.astype(grid.dtype)
+
+
 def torch_interpolate_scale(grid: jnp.ndarray, scale: float) -> jnp.ndarray:
     """F.interpolate(grid, scale_factor=scale, mode='bicubic') on
     (..., H, W, C): out size = floor(size * scale), coordinates mapped with
