@@ -32,8 +32,10 @@ import jax.numpy as jnp
 
 A100_ESTIMATE_IMG_PER_SEC = 290.0
 # XLA cost model of the identical all-XLA train step at B=32 (fwd+bwd+
-# DDINO loss+AdamW+EMA, bf16): scripts/step_flops.py, measured 2026-08-17.
-STEP_TFLOPS = 5.135
+# DDINO loss+AdamW+EMA, bf16): scripts/step_flops.py, re-measured
+# 2026-08-17 on the round-3 code (scripts/step_budget.py has the
+# per-component split: backbone 29.2, heads 6.1, loss 0.5 ms flop-SOL).
+STEP_TFLOPS = 5.546
 V5E_PEAK_BF16_TFLOPS = 197.0   # chip spec; measured dense GEMM: 151.7
 
 

@@ -123,6 +123,9 @@ CASES = [
     pytest.param(8, 8, 4, 32, 4, True, False, False, id="ws4-shift-4win"),
     pytest.param(8, 2, 4, 32, 4, False, True, False, id="ws4-pad2to4"),
     pytest.param(4, 6, 4, 32, 2, True, True, False, id="ws4-pad6to8-shift"),
+    # W=14 model family (BASELINE swin_*_window14): N=196 -> Np=200 with 4
+    # dead slots per window — a different padding regime than W=7's 49->56.
+    pytest.param(2, 28, 14, 32, 2, True, False, False, id="w14-shift"),
 ]
 
 
