@@ -22,7 +22,6 @@ import jax
 import jax.numpy as jnp
 
 PEAK_TFLOPS = 151.7          # measured dense bf16 GEMM rate (PERF.md)
-HBM_GBPS = 820.0             # v5e spec ballpark
 
 
 def _cost(fn, *args):
