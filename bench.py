@@ -31,24 +31,124 @@ import jax
 import jax.numpy as jnp
 
 A100_ESTIMATE_IMG_PER_SEC = 290.0
-# XLA cost model of the identical all-XLA train step at B=32 (fwd+bwd+
-# DDINO loss+AdamW+EMA, bf16): scripts/step_flops.py, re-measured
-# 2026-08-17 on the round-3 code (scripts/step_budget.py has the
-# per-component split: backbone 29.2, heads 6.1, loss 0.5 ms flop-SOL).
-STEP_TFLOPS = 5.546
-V5E_PEAK_BF16_TFLOPS = 197.0   # chip spec; measured dense GEMM: 151.7
+# Sanity anchor for the self-sourced FLOP count below; the bench derives
+# the live number from cost_analysis() each run and flags drift beyond 2%
+# so a recipe change can't silently skew the published MFU. (The round-3
+# constant 5.546 came from summing scripts/step_budget.py components and
+# overcounted the whole-program cost_analysis by 7.4% — the in-process
+# derivation is authoritative now.)
+STEP_TFLOPS_ANCHOR = 5.135
+V5E_PEAK_BF16_TFLOPS = 197.0     # chip spec
+V5E_MEASURED_DENSE_TFLOPS = 151.7  # 8192^3 bf16 GEMM on this chip (PERF.md)
+
+
+def _xla_twin(model_cfg):
+    """The all-XLA variant of a model config (identical math; every op
+    visible to the cost model). Non-Swin configs are already all-XLA."""
+    import dataclasses
+
+    if getattr(model_cfg, "name", "") == "swin":
+        return dataclasses.replace(model_cfg, attention_impl="xla",
+                                   fused_block_stages=(), layout_opt=False)
+    return model_cfg
+
+
+def derive_step_tflops(model_cfg, B: int) -> float:
+    """Step FLOPs from XLA's cost model of the all-XLA twin of the timed
+    step.
+
+    The production step contains Pallas kernels — custom calls the XLA
+    cost model cannot see inside — so the honest count comes from the
+    all-XLA variant, which computes identical math (parity-tested,
+    tests/test_fused_block.py). Result is cached on disk keyed by the
+    lowered module bytecode: only an actual program change recompiles.
+    """
+    import hashlib
+    import os
+
+    from jax._src.interpreters import mlir
+
+    from esvit_tpu import config
+    from esvit_tpu.train.step import EsViTTrainer
+
+    cfg = config.TrainConfig(
+        model=_xla_twin(model_cfg),
+        head=config.HeadConfig(),
+        loss=config.LossConfig(use_dense_prediction=True),
+        optim=config.OptimConfig(batch_size_per_device=B),
+        steps_per_epoch=1251,
+        dtype=jnp.bfloat16,
+    )
+    trainer = EsViTTrainer(cfg, total_batch_size=B * jax.device_count())
+    rng = jax.random.PRNGKey(0)
+    batch = (jnp.zeros((2 * B, 224, 224, 3), jnp.float32),
+             jnp.zeros((8 * B, 96, 96, 3), jnp.float32))
+    state = jax.eval_shape(trainer.init_state, rng, batch)
+    lowered = jax.jit(trainer.train_step).lower(state, batch, rng)
+    key = hashlib.sha256(
+        mlir.module_to_bytecode(lowered.compiler_ir())).hexdigest()[:32]
+    cache_dir = os.path.expanduser(
+        os.environ.get("ESVIT_COMPILE_CACHE", "~/.cache/esvit_jax_cache"))
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"step_tflops-{key}.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)["tflops"]
+    cost = lowered.compile().cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0]
+    tflops = float(cost["flops"]) / 1e12
+    tmp = path + f".tmp{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({"tflops": tflops, "batch": B}, f)
+    os.replace(tmp, path)
+    return tflops
+
+
+def _presets():
+    """(model_cfg_factory, per-chip batch, label) per preset.
+
+    Batches follow the reference recipes: Swin-T 16 GPU x bs32
+    (README.md:74), Swin-B W=14 4 nodes x 16 GPU x bs8 (README.md:134),
+    CvT-T / ViL-T effective 1024 = 16 x 64 (README.md:283-331) — capped
+    at 32 here so rows stay comparable; --batch overrides.
+    """
+    from esvit_tpu import config
+
+    return {
+        "swin_tiny": (config.swin_tiny, 32, "Swin-T W=7"),
+        "swin_tiny_w14": (lambda: config.swin_tiny(window_size=14), 32,
+                          "Swin-T W=14"),
+        "swin_base_w14": (lambda: config.swin_base(window_size=14), 8,
+                          "Swin-B W=14"),
+        "cvt_tiny": (config.cvt_tiny, 32, "CvT-T"),
+        "vil_tiny": (config.vil_tiny, 32, "ViL-T"),
+    }
 
 
 def main():
+    import argparse
+
     from esvit_tpu import config
     from esvit_tpu.train.step import EsViTTrainer
     from esvit_tpu.utils.compile_cache import enable_compilation_cache
 
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--preset", default="swin_tiny",
+                        choices=sorted(_presets()))
+    parser.add_argument("--batch", type=int, default=None,
+                        help="per-chip batch (default: the preset's recipe)")
+    parser.add_argument("--iters", type=int, default=20)
+    args = parser.parse_args()
+
     enable_compilation_cache()
 
-    B = 32  # per-chip batch, matching the reference's 16 GPU x bs32 recipe
+    model_factory, B, label = _presets()[args.preset]
+    if args.batch is not None:
+        B = args.batch
+    model_cfg = model_factory()
     cfg = config.TrainConfig(
-        model=config.swin_tiny(),
+        model=model_cfg,
         head=config.HeadConfig(),
         loss=config.LossConfig(use_dense_prediction=True),
         optim=config.OptimConfig(batch_size_per_device=B),
@@ -67,7 +167,8 @@ def main():
     from esvit_tpu.utils.compile_cache import cached_compile
 
     step = cached_compile(jax.jit(trainer.train_step), state, batch,
-                          jax.random.PRNGKey(1), name="bench_train_step")
+                          jax.random.PRNGKey(1),
+                          name=f"bench_train_step_{args.preset}_B{B}")
 
     # Warmup/compile. NOTE: on the axon tunnel backend block_until_ready
     # returns before remote execution completes; a host scalar fetch is the
@@ -75,7 +176,7 @@ def main():
     state, metrics = step(state, batch, jax.random.PRNGKey(1))
     _ = float(metrics["loss"])
 
-    iters = 20
+    iters = args.iters
     t0 = time.perf_counter()
     for i in range(iters):
         state, metrics = step(state, batch, jax.random.PRNGKey(2 + i))
@@ -85,18 +186,47 @@ def main():
     images_per_step = 10 * B  # 2 global + 8 local crops
     ips = images_per_step * iters / dt
     step_s = dt / iters
-    print(json.dumps({
-        "metric": "pretrain images/sec/chip (Swin-T multi-crop, DDINO)",
+
+    flops_note = "cost_analysis() of the all-XLA twin, derived in-process"
+    try:
+        step_tflops = derive_step_tflops(model_cfg, B)
+        if args.preset == "swin_tiny" and B == 32:
+            drift = abs(step_tflops - STEP_TFLOPS_ANCHOR) / STEP_TFLOPS_ANCHOR
+            if drift > 0.02:
+                flops_note += (f"; DRIFT {drift:.1%} vs the "
+                               f"{STEP_TFLOPS_ANCHOR} anchor — recipe "
+                               "changed, update the anchor")
+    except Exception as e:  # noqa: BLE001 - bench must still print its line
+        step_tflops = STEP_TFLOPS_ANCHOR if args.preset == "swin_tiny" else None
+        flops_note = (f"in-process derivation failed: {type(e).__name__}"
+                      + ("; anchor constant used" if step_tflops else ""))
+
+    row = {
+        "metric": f"pretrain images/sec/chip ({label} multi-crop, DDINO)",
         "value": round(ips, 2),
         "unit": "images/sec/chip",
-        "vs_baseline": round(ips / A100_ESTIMATE_IMG_PER_SEC, 3),
-        "note": "baseline = estimated A100 fp16 DDP throughput (290 img/s, "
-                "derivation in bench.py docstring); target >= 3.0",
         "step_ms": round(step_s * 1000, 2),
-        "step_tflops": STEP_TFLOPS,
-        "mfu": round(STEP_TFLOPS / step_s / V5E_PEAK_BF16_TFLOPS, 4),
+        "batch_per_chip": B,
         "loss": float(metrics["loss"]),
-    }))
+    }
+    if args.preset == "swin_tiny":
+        # The A100 estimate is derived for THIS recipe (Swin-T W=7, bs32);
+        # other presets report absolute numbers only.
+        row["vs_baseline"] = round(ips / A100_ESTIMATE_IMG_PER_SEC, 3)
+        row["note"] = ("baseline = estimated A100 fp16 DDP throughput "
+                       "(290 img/s, derivation in bench.py docstring); "
+                       "target >= 3.0")
+    if step_tflops is not None:
+        row.update({
+            "step_tflops": round(step_tflops, 4),
+            "step_tflops_note": flops_note,
+            "mfu": round(step_tflops / step_s / V5E_PEAK_BF16_TFLOPS, 4),
+            "mfu_vs_measured_dense": round(
+                step_tflops / step_s / V5E_MEASURED_DENSE_TFLOPS, 4),
+        })
+    else:
+        row["step_tflops_note"] = flops_note
+    print(json.dumps(row))
 
 
 if __name__ == "__main__":

@@ -216,6 +216,15 @@ def _dp_rows(dp_ref, R, rows_per_img):
 # q/k/v and the per-chunk outputs in scratch refs and slices them with
 # pl.ds (ref indexing supports dynamic sublane offsets at 8-aligned steps).
 _CHUNK_MODE = os.environ.get("ESVIT_FB_CHUNKLOOP", "unroll")
+# Cache the softmax probabilities computed by the backward's forward
+# recompute in a (G, R, cols) f32 VMEM scratch and reuse them in the
+# backward chunk loop, instead of recomputing scores+softmax a second
+# time (the interior probe measured that duplicate pass as the bulk of
+# the backward interior — PERF.md round 4). Capped by
+# _SAVE_PROBS_VMEM_CAP so outsized layouts (stage-3 HG=6) keep the old
+# recompute path.
+_SAVE_PROBS = os.environ.get("ESVIT_FB_SAVE_PROBS", "1") == "1"
+_SAVE_PROBS_VMEM_CAP = 24 * 1024 * 1024
 # Diagnostic ONLY (wrong numerics): replace the chunked attention with the
 # raw V projection, isolating the LN/GEMM cost from the packed-attention
 # interior when profiling the kernel. Never set in production.
@@ -269,10 +278,12 @@ def _chunked_attn_bwd(qkv_s, g, da_s, dq_s, ds_s, bias_blk, mask_ref, *,
 
 
 def _attention_fwd(y, refs, *, G, nchunks, rows_c, Np, hd, TW_mm, HG, scale,
-                   score_dtype, dtype, scratch=None):
+                   score_dtype, dtype, scratch=None, p_scratch=None):
     """Grouped, chunked packed attention. Returns list of per-group outputs
     a_g (R, HG*hd) in compute dtype, plus (q_g, k_g, v_g) for reuse (loop
-    mode returns None — q/k/v live in the qkv scratch instead)."""
+    mode returns None — q/k/v live in the qkv scratch instead). When
+    ``p_scratch`` (a (G, R, HG*rows_c) f32 VMEM ref) is given, the softmax
+    probabilities of every chunk are cached there for the backward."""
     outs, qkvs = [], []
     if scratch is not None:
         qkv_s, a_s = scratch
@@ -298,10 +309,17 @@ def _attention_fwd(y, refs, *, G, nchunks, rows_c, Np, hd, TW_mm, HG, scale,
         chunks = []
         for ci in range(nchunks):
             sl = slice(ci * rows_c, (ci + 1) * rows_c)
-            o_c = pwa.attn_group_fwd(
-                q[sl], k[sl], v[sl], refs["bias3"][g], refs["mask"][sl],
-                N=Np, hd=hd, TW=TW_mm, h0=0, HG=HG, scale=scale,
-                score_dtype=score_dtype)
+            if p_scratch is not None:
+                o_c, p32 = pwa.attn_group_fwd_p(
+                    q[sl], k[sl], v[sl], refs["bias3"][g], refs["mask"][sl],
+                    N=Np, hd=hd, TW=TW_mm, h0=0, HG=HG, scale=scale,
+                    score_dtype=score_dtype)
+                p_scratch[g, sl, :] = p32
+            else:
+                o_c = pwa.attn_group_fwd(
+                    q[sl], k[sl], v[sl], refs["bias3"][g], refs["mask"][sl],
+                    N=Np, hd=hd, TW=TW_mm, h0=0, HG=HG, scale=scale,
+                    score_dtype=score_dtype)
             chunks.append(o_c.astype(dtype))
         outs.append(jnp.concatenate(chunks, axis=0))
         qkvs.append((q, k, v))
@@ -309,7 +327,8 @@ def _attention_fwd(y, refs, *, G, nchunks, rows_c, Np, hd, TW_mm, HG, scale,
 
 
 def _forward_body(refs, *, G, nchunks, rows_c, Np, nH, HG, TW_mm,
-                  rows_per_img, scale, eps, score_dtype, scratch=None):
+                  rows_per_img, scale, eps, score_dtype, scratch=None,
+                  p_scratch=None):
     x = refs["x"][:]
     dtype = x.dtype
     R = x.shape[0]
@@ -325,7 +344,7 @@ def _forward_body(refs, *, G, nchunks, rows_c, Np, nH, HG, TW_mm,
     a_groups, qkvs = _attention_fwd(
         y, refs, G=G, nchunks=nchunks, rows_c=rows_c, Np=Np, hd=hd,
         TW_mm=TW_mm, HG=HG, scale=scale, score_dtype=score_dtype,
-        dtype=dtype, scratch=scratch)
+        dtype=dtype, scratch=scratch, p_scratch=p_scratch)
 
     o1_32 = None
     for g in range(G):
@@ -388,12 +407,17 @@ def _fwd_kernel(*args, G, nchunks, rows_c, Np, nH, HG, TW_mm, rows_per_img,
 
 
 def _bwd_kernel(*args, G, nchunks, rows_c, Np, nH, HG, TW_mm, rows_per_img,
-                scale, eps, score_dtype, has_pad, has_dp, chunk_loop):
+                scale, eps, score_dtype, has_pad, has_dp, chunk_loop,
+                save_probs=False):
     refs, rest = _unpack(args, has_pad, has_dp)
     do_ref = rest[0]
+    p_s = None
     if chunk_loop:
         *rest, qkv_s, a_s, da_s, dq_s, ds_s = rest
         scratch = (qkv_s, a_s)
+    elif save_probs:
+        *rest, p_s = rest
+        scratch = None
     else:
         scratch = None
     (dx_ref, dg1_ref, dbe1_ref, dwq_ref, dbq_ref, dwk_ref, dbk_ref,
@@ -403,7 +427,7 @@ def _bwd_kernel(*args, G, nchunks, rows_c, Np, nH, HG, TW_mm, rows_per_img,
     f = _forward_body(refs, G=G, nchunks=nchunks, rows_c=rows_c, Np=Np,
                       nH=nH, HG=HG, TW_mm=TW_mm, rows_per_img=rows_per_img,
                       scale=scale, eps=eps, score_dtype=score_dtype,
-                      scratch=scratch)
+                      scratch=scratch, p_scratch=p_s)
     dtype = f["x"].dtype
     C = f["x"].shape[1]
     hd = C // nH
@@ -463,10 +487,15 @@ def _bwd_kernel(*args, G, nchunks, rows_c, Np, nH, HG, TW_mm, rows_per_img,
             ds_acc = None
             for ci in range(nchunks):
                 sl = slice(ci * rows_c, (ci + 1) * rows_c)
-                dqc, dkc, dvc, ds32 = pwa.attn_group_bwd(
-                    q[sl], k[sl], v[sl], refs["bias3"][g], refs["mask"][sl],
-                    da_g[sl], N=Np, hd=hd, TW=TW_mm, h0=0, HG=HG,
-                    scale=scale, score_dtype=score_dtype)
+                if p_s is not None:
+                    dqc, dkc, dvc, ds32 = pwa.attn_group_bwd_from_p(
+                        p_s[g, sl, :], q[sl], k[sl], v[sl], da_g[sl],
+                        N=Np, hd=hd, TW=TW_mm, h0=0, HG=HG, scale=scale)
+                else:
+                    dqc, dkc, dvc, ds32 = pwa.attn_group_bwd(
+                        q[sl], k[sl], v[sl], refs["bias3"][g],
+                        refs["mask"][sl], da_g[sl], N=Np, hd=hd, TW=TW_mm,
+                        h0=0, HG=HG, scale=scale, score_dtype=score_dtype)
                 ds_acc = ds32 if ds_acc is None else ds_acc + ds32
                 dq_cs.append(dqc.astype(dtype))
                 dk_cs.append(dkc.astype(dtype))
@@ -701,11 +730,17 @@ def _run(kind, x2, g1, be1, wq, bq, wk, bk, wv, bv, bias, wp, bp, g2, be2,
 
     operands.append(do)
     in_specs.append(x_spec)
-    bwd_scratch = (fwd_scratch + [pltpu.VMEM((R, gw), dtype),      # da
-                                  pltpu.VMEM((3, R, gw), dtype),   # dq/dk/dv
-                                  pltpu.VMEM((rows_c, cols_c),
-                                             jnp.float32)]         # dbias acc
-                   if chunk_loop else [])
+    save_probs = (not chunk_loop and not _SKIP_ATTN and _SAVE_PROBS
+                  and G * R * cols_c * 4 <= _SAVE_PROBS_VMEM_CAP)
+    if chunk_loop:
+        bwd_scratch = fwd_scratch + [
+            pltpu.VMEM((R, gw), dtype),                     # da
+            pltpu.VMEM((3, R, gw), dtype),                  # dq/dk/dv
+            pltpu.VMEM((rows_c, cols_c), jnp.float32)]      # dbias acc
+    elif save_probs:
+        bwd_scratch = [pltpu.VMEM((G, R, cols_c), jnp.float32)]  # prob cache
+    else:
+        bwd_scratch = []
     f32 = jnp.float32
     out_specs = [
         x_spec,                                   # dx
@@ -736,7 +771,7 @@ def _run(kind, x2, g1, be1, wq, bq, wk, bk, wv, bv, bias, wp, bp, g2, be2,
         jax.ShapeDtypeStruct((M, C), f32), jax.ShapeDtypeStruct((1, C), f32),
     ]
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, **kw),
+        functools.partial(_bwd_kernel, save_probs=save_probs, **kw),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,

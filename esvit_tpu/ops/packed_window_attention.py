@@ -174,6 +174,13 @@ def _scores(q, k, bias_ref, mask_ref, *, N, hd, TW, h0, HG, scale,
     return s, kexp, qs
 
 
+def _group_selector(rows, HG):
+    """(HG*rows, HG) 0/1 selector: column block h -> indicator column h."""
+    cols = HG * rows
+    return (_iota2((cols, HG), 0) // rows
+            == _iota2((cols, HG), 1)).astype(jnp.float32)
+
+
 def _softmax(s, *, N, TW, HG):
     rows = TW * N
     cols = HG * rows
@@ -191,8 +198,7 @@ def _softmax(s, *, N, TW, HG):
         part = jnp.where(sel, m_h, 0.0)
         mcols = part if mcols is None else mcols + part      # (rows, cols)
     e = jnp.exp(s - mcols)
-    G = (_iota2((cols, HG), 0) // rows
-         == _iota2((cols, HG), 1)).astype(jnp.float32)
+    G = _group_selector(rows, HG)
     l = jax.lax.dot_general(e, G, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     linv = 1.0 / l
@@ -206,13 +212,60 @@ def attn_group_fwd(q, k, v, bias_ref, mask_ref, *, N, hd, TW, h0, HG, scale,
     """One head-group of packed window attention; returns o32 (rows, C) f32
     (nonzero only in the group's channel block). Shared by the standalone
     packed kernel and the block-fused kernel (ops/fused_block.py)."""
+    o32, _ = attn_group_fwd_p(q, k, v, bias_ref, mask_ref, N=N, hd=hd, TW=TW,
+                              h0=h0, HG=HG, scale=scale,
+                              score_dtype=score_dtype)
+    return o32
+
+
+def attn_group_fwd_p(q, k, v, bias_ref, mask_ref, *, N, hd, TW, h0, HG,
+                     scale, score_dtype):
+    """attn_group_fwd that also returns the f32 probabilities, so the
+    block-fused backward can cache them in VMEM during its forward
+    recompute and skip the second scores+softmax pass (the interior probe
+    measured that duplicate pass at ~2.2x the forward interior)."""
     s, _, _ = _scores(q, k, bias_ref, mask_ref, N=N, hd=hd, TW=TW,
                       h0=h0, HG=HG, scale=scale, score_dtype=score_dtype)
     p32, _ = _softmax(s, N=N, TW=TW, HG=HG)
     p = p32.astype(q.dtype)
     vexp = _expand_heads(v, N, hd, TW, h0, HG)
-    return jax.lax.dot_general(p, vexp, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+    o32 = jax.lax.dot_general(p, vexp, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    return o32, p32
+
+
+def attn_group_bwd_from_p(p32, q, k, v, do, *, N, hd, TW, h0, HG, scale):
+    """attn_group_bwd given cached probabilities: identical math from the
+    softmax output onward (the p32 here IS the p32 attn_group_bwd would
+    recompute — f32 VMEM round-trips are exact), minus the scores matmul,
+    the bias/mask adds and the per-head-max softmax."""
+    rows = TW * N
+    p = p32.astype(q.dtype)
+    vexp = _expand_heads(v, N, hd, TW, h0, HG)
+
+    dvexp = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    dv = _collapse_heads(dvexp, N, hd, TW, h0, HG)
+
+    dp = jax.lax.dot_general(do, vexp, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    pdp = p32 * dp
+    G = _group_selector(rows, HG)
+    rs = jax.lax.dot_general(pdp, G, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    rcols = jax.lax.dot_general(rs, G, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    ds32 = p32 * (dp - rcols)
+
+    ds = ds32.astype(q.dtype)
+    kexp = _expand_heads(k, N, hd, TW, h0, HG)
+    qs = q * jnp.asarray(scale, q.dtype)
+    dq = jax.lax.dot_general(ds, kexp, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) * scale
+    dkexp = jax.lax.dot_general(ds, qs, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    dk = _collapse_heads(dkexp, N, hd, TW, h0, HG)
+    return dq, dk, dv, ds32
 
 
 def attn_group_bwd(q, k, v, bias_ref, mask_ref, do, *, N, hd, TW, h0, HG,
