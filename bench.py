@@ -44,12 +44,14 @@ V5E_MEASURED_DENSE_TFLOPS = 151.7  # 8192^3 bf16 GEMM on this chip (PERF.md)
 
 def _xla_twin(model_cfg):
     """The all-XLA variant of a model config (identical math; every op
-    visible to the cost model). Non-Swin configs are already all-XLA."""
+    visible to the cost model)."""
     import dataclasses
 
     if getattr(model_cfg, "name", "") == "swin":
         return dataclasses.replace(model_cfg, attention_impl="xla",
                                    fused_block_stages=(), layout_opt=False)
+    if getattr(model_cfg, "name", "") == "vil":
+        return dataclasses.replace(model_cfg, fused_sc="off")
     return model_cfg
 
 

@@ -235,6 +235,9 @@ class ViLConfig:
     # per-layer draws via a traced lax.switch over the 8 neighbor variants
     # (mode sentinel PER_LAYER_MODE, rng stream 'vil_mode').
     per_layer_mode: bool = False
+    # Fused sliding-chunk Pallas kernel (ops/sliding_chunk_fused.py):
+    # 'auto' (TPU backend only) | 'on' | 'interpret' | 'off'.
+    fused_sc: str = "auto"
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
     drop_rate: float = 0.0

@@ -215,7 +215,8 @@ class ViLAttnBlock(nn.Module):
         elif mc.attn_type in ("longformer", "longformerhand", "longformerauto"):
             attn = Long2DSCAttention(st.embed_dim, st.num_heads,
                                      window=st.window_size, nglo=st.num_global,
-                                     rpe=not st.ape, name="attn", **common)
+                                     rpe=not st.ape, fused_sc=mc.fused_sc,
+                                     name="attn", **common)
             if mode == PER_LAYER_MODE:
                 # Reference semantics (longformer2d.py:151): every layer
                 # draws its own neighbor chunk each forward. The draw is

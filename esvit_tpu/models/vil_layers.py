@@ -94,6 +94,11 @@ class Long2DSCAttention(nn.Module):
     pool_method: str = "mean"
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    # Fused sliding-chunk Pallas kernel (ops/sliding_chunk_fused.py) for
+    # the canonical mode-0/exact-0/APE configuration: 'auto' uses it on a
+    # TPU backend, 'on'/'interpret' force it (interpret = CPU parity
+    # tests), 'off' keeps the stacked-neighborhood einsum everywhere.
+    fused_sc: str = "auto"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -135,6 +140,15 @@ class Long2DSCAttention(nn.Module):
         kvx = kv(x).reshape(B, N, 2, H, M).transpose(2, 0, 3, 1, 4)
         k, v = kvx[0], kvx[1]                                # (B,H,N,M)
 
+        from esvit_tpu.ops import sliding_chunk_fused as scf
+
+        use_fused = (
+            self.fused_sc != "off"
+            and scf.supports(mode, self.exact, self.rpe, self.add_pooled,
+                             self.only_glo, Nglo,
+                             self.attn_drop > 0.0 and not deterministic)
+            and (self.fused_sc in ("on", "interpret")
+                 or jax.default_backend() == "tpu"))
         if self.only_glo:
             attn1 = jnp.einsum("bhnm,bhgm->bhng", q, k[:, :, :Nglo],
                                preferred_element_type=jnp.float32)
@@ -142,6 +156,16 @@ class Long2DSCAttention(nn.Module):
             probs = nn.Dropout(self.attn_drop)(probs, deterministic=deterministic)
             x1 = jnp.einsum("bhng,bhgm->bhnm", probs.astype(self.dtype),
                             v[:, :, :Nglo])
+        elif use_fused:
+            out = scf.sliding_chunk_attention(
+                q.reshape(B * H, nx, ny, M),
+                k[:, :, Nglo:].reshape(B * H, nx, ny, M),
+                v[:, :, Nglo:].reshape(B * H, nx, ny, M),
+                k[:, :, :Nglo].reshape(B * H, Nglo, M),
+                v[:, :, :Nglo].reshape(B * H, Nglo, M),
+                nx=nx, ny=ny, W=W,
+                interpret=self.fused_sc == "interpret")
+            x1 = out.reshape(B, H, Nloc, M)
         else:
             def to_img(t):
                 # (B,H,Nloc,M) -> (B*H, M, nx, ny) -> padded chunks
