@@ -52,6 +52,20 @@ def run_variant(name: str, **model_overrides) -> float:
 
 VARIANTS = {
     "base": {},
+    # Stage-3 fusion with the per-stage HG=6 knob (round-3 capability).
+    # Re-measured in round 4 because (a) the probs-cache backward landed
+    # since the "perf-neutral" verdict and (b) the @224-only neutrality
+    # measurement never covered the 96px branch, where XLA stage-3 pads
+    # 3x3 grids to 7x7 windows and the profile shows ~9 ms/step of
+    # copy/fusion churn on [256,49,768] tensors.
+    # G_step=32 at stage-3 C=768 + the probs cache = 236M VMEM demand
+    # (measured OOM); G_step=8 shrinks every stage-3 tile 4x.
+    "fused3": {"fused_block_stages": (0, 1, 2, 3),
+               "fused_hg_max": (3, 3, 3, 6),
+               "fused_g_step": (32, 32, 32, 8)},
+    "fused3_g16": {"fused_block_stages": (0, 1, 2, 3),
+                   "fused_hg_max": (3, 3, 3, 6),
+                   "fused_g_step": (32, 32, 32, 16)},
     "bf16scores": {"score_dtype": "bfloat16"},
     "nolayout": {"layout_opt": False},
     "layout": {"layout_opt": True},

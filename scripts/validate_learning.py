@@ -54,6 +54,14 @@ def main():
     p.add_argument("--host_aug", action="store_true",
                    help="use the host (PIL-parity) augmentation path instead "
                         "of the fused on-device one — for aug-fidelity A/B")
+    p.add_argument("--hires", action="store_true",
+                   help="160px source / 96px global / 48px local crops "
+                        "(nano only). The full-strength PIL recipe (blur "
+                        "p=1.0 sigma<=2, solarize) low-passes 64px crops "
+                        "below the fill-texture period of shapes_hard; at "
+                        "96px the texture survives, so BOTH aug paths can "
+                        "learn — the host-aug learning-evidence config "
+                        "(VERDICT r3 item 7)")
     p.add_argument("--min_gain", type=float, default=None,
                    help="required (after - before) k-NN gain in points; "
                         "defaults: 5 for shapes, 10 for shapes_hard")
@@ -83,11 +91,13 @@ def main():
     import dataclasses as _dc
 
     if args.size == "nano":
-        model = config.SwinConfig(img_size=64, patch_size=4, embed_dim=32,
+        g_size, l_size, img_size = ((96, 48, 160) if args.hires
+                                    else (64, 32, 96))
+        model = config.SwinConfig(img_size=g_size, patch_size=4, embed_dim=32,
                                   depths=(2, 2, 2), num_heads=(2, 4, 4),
                                   window_size=4, drop_path_rate=0.0)
-        g_size, l_size, img_size = 64, 32, 96
     else:
+        assert not args.hires, "--hires is a nano-size configuration"
         model = config.swin_femto(drop_path_rate=0.0)
         g_size, l_size, img_size = 32, 16, 64
     overrides = {}
@@ -169,7 +179,7 @@ def main():
     acc_after = knn_accuracy(jax.device_get(state.teacher), "trained")
     print(f"\nresult: {acc_before:.1f}% -> {acc_after:.1f}% "
           f"({args.steps} steps, {time.time() - t0:.0f}s, task={args.task}, "
-          f"host_aug={args.host_aug})", flush=True)
+          f"host_aug={args.host_aug}, hires={args.hires})", flush=True)
     min_gain = args.min_gain
     if min_gain is None:
         # Measured on-chip baselines (PERF.md rounds 2-3):
