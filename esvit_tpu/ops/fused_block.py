@@ -60,7 +60,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from esvit_tpu.ops import packed_window_attention as pwa
 
-_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024)
 # Forward grid steps touch disjoint output rows, so the grid dimension can
 # be declared parallel (lets Mosaic overlap/pipeline steps). The backward
 # kernel accumulates weight grads across steps in its output refs and MUST
@@ -88,24 +88,82 @@ def _env_first_int(name, default):
 _TW_MM = _env_first_int("ESVIT_FB_TWMM", "2")
 _HG_MAX = _env_first_int("ESVIT_FB_HG", "3")
 _GSTEP_TARGET = _env_first_int("ESVIT_FB_GSTEP", "32")
+# Row budget per grid tile: G_step is additionally capped so G_step*Np
+# stays at/below the measured W=7 optimum (32 windows x 56 slots = 1792
+# rows, rounded up to 2048). The g_step knob counts WINDOWS, so without
+# this cap a W=14 layout (Np=200) would build 6400-row tiles whose
+# backward takes Mosaic tens of minutes to compile (round-4 finding);
+# Mosaic compile time scales with the unrolled chunk-body count, which
+# rides G_step.
+_ROWS_CAP = int(os.environ.get("ESVIT_FB_ROWS_CAP", "2048"))
+# Backward-kernel VMEM budget for the demand model below. Calibrated on
+# two measured round-4 points: Swin-T stage-2 (estimate ~90M, compiles
+# and runs inside the 128M scoped budget) and Swin-B W=14 stage-2 at
+# G_step=8 (estimate ~122M, compiler reports 142.4M used — the estimate
+# undershoots the register-allocator spill granularity by ~17%). 104M
+# accepts every layout that is known to fit and rejects the known OOM.
+_VMEM_BUDGET = int(os.environ.get("ESVIT_FB_VMEM_BUDGET",
+                                  str(104 * 1024 * 1024)))
 
 
-def _pick_layout(Bw, nH, nW, Np, knobs=None):
+def _vmem_demand(g, tw, hg, Np, nH, nW, C, M):
+    """Estimated backward-kernel VMEM bytes for a candidate layout.
+
+    Models the three footprint classes the Swin-B W=14 OOM exposed
+    (/tmp vmem dump, round 4): (a) in-kernel LIVE VALUES — the forward
+    recompute's retained activations (xhat/r for both LNs, y, x2, h, g,
+    per-group qkv + attention outputs) that Mosaic's register allocator
+    spills to VMEM stack slots, all proportional to the R = g*Np tile
+    rows; (b) pipeline BUFFERS — windowed input/output tiles (double-
+    buffered when their index map moves), VMEM-resident weights (compute
+    dtype) and f32 weight-grad accumulators, bias/mask tiles; (c) the
+    optional softmax-probability cache. Compute dtype is assumed bf16
+    (the production setting; fp32 runs are interpret-mode tests that
+    never touch real VMEM)."""
+    it = 2                                     # bf16 itemsize
+    R = g * Np
+    rows_c = tw * Np
+    cols_c = hg * rows_c
+    G = nH // hg
+    gw = (C // nH) * hg
+    period = max(nW // g, 1)
+    # (a) live values: ~5 f32 + ~7 bf16 (R, C) arrays, 4 bf16 (R, M)
+    # MLP activations/grads, 7 per-group (R, gw) arrays (qkv, dqkv, a).
+    live = R * C * (5 * 4 + 7 * it) + R * M * 4 * it + 7 * G * R * gw * it
+    bufs = (2 * G * rows_c * cols_c * 4                  # bias3 + dbias
+            + R * cols_c * 4 * (2 if period > 1 else 1)  # mask window(s)
+            + 6 * R * C * it                             # x/do/dx dbl-buf
+            + R * C * 4                                  # pad rows
+            + (4 * C * C + 2 * C * M) * it               # weights
+            + (4 * C * C + 2 * C * M) * 4)               # weight grads
+    probs = G * R * cols_c * 4
+    if _SAVE_PROBS and probs <= _SAVE_PROBS_VMEM_CAP:
+        bufs += probs
+    return live + bufs
+
+
+def _pick_layout(Bw, nH, nW, Np, knobs=None, C=None, M=None):
     """(G_step, TW_mm, HG) for Bw total windows. G_step | Bw, TW_mm |
-    G_step, and the window-type pattern periodic across grid steps
-    (G_step % nW == 0 or nW % G_step == 0). knobs = (tw_mm, hg_max,
-    g_step_target) or None for the env-seeded module defaults. Returns
-    (0, 0, 0) if no valid tiling exists."""
+    G_step, G_step*Np <= _ROWS_CAP, the window-type pattern periodic
+    across grid steps (G_step % nW == 0 or nW % G_step == 0), and — when
+    C/M are given — the largest G_step whose estimated backward VMEM
+    demand fits _VMEM_BUDGET. knobs = (tw_mm, hg_max, g_step_target) or
+    None for the env-seeded module defaults. Returns (0, 0, 0) if no
+    valid tiling exists (callers fall back to the XLA path)."""
     tw_mm, hg_max, gstep_target = knobs or (_TW_MM, _HG_MAX, _GSTEP_TARGET)
     HG = max((d for d in range(1, nH + 1)
               if nH % d == 0 and d <= hg_max), default=0)
     if not HG:
         return 0, 0, 0
+    gstep_target = min(gstep_target, max(_ROWS_CAP // Np, 1))
     best = 0
     for g in range(1, min(gstep_target, Bw) + 1):
         if Bw % g or g % min(tw_mm, g):
             continue
         if not (g % nW == 0 or nW % g == 0):
+            continue
+        if C is not None and _vmem_demand(g, min(tw_mm, g), HG, Np, nH,
+                                          nW, C, M) > _VMEM_BUDGET:
             continue
         best = g
     if not best:
@@ -113,13 +171,16 @@ def _pick_layout(Bw, nH, nW, Np, knobs=None):
     return best, min(tw_mm, best), HG
 
 
-def supports(B: int, L: int, N: int, nH: int, nW: int, knobs=None) -> bool:
+def supports(B: int, L: int, N: int, nH: int, nW: int, knobs=None,
+             C=None, M=None) -> bool:
     """Whether the fused kernel can tile this PADDED window-major layout
-    (L == nW * Np)."""
+    (L == nW * Np). Pass C/M (embed + MLP hidden dims) to additionally
+    require a layout whose backward fits the VMEM demand model — layouts
+    with none fall back to the XLA path."""
     Np = ((N + 7) // 8) * 8
     if L != nW * Np:
         return False
-    g, tw, hg = _pick_layout(B * nW, nH, nW, Np, knobs)
+    g, tw, hg = _pick_layout(B * nW, nH, nW, Np, knobs, C=C, M=M)
     return g > 0
 
 
@@ -647,7 +708,7 @@ def _run(kind, x2, g1, be1, wq, bq, wk, bk, wv, bv, bias, wp, bp, g2, be2,
     hd = C // nH
 
     Bw = BL // Np
-    G_step, TW_mm, HG = _pick_layout(Bw, nH, nW, Np, meta.knobs)
+    G_step, TW_mm, HG = _pick_layout(Bw, nH, nW, Np, meta.knobs, C=C, M=M)
     assert G_step > 0, (Bw, nH, nW, Np)
     G = nH // HG
     gw = HG * hd
