@@ -36,8 +36,10 @@ A100_ESTIMATE_IMG_PER_SEC = 290.0
 # so a recipe change can't silently skew the published MFU. (The round-3
 # constant 5.546 came from summing scripts/step_budget.py components and
 # overcounted the whole-program cost_analysis by 7.4% — the in-process
-# derivation is authoritative now.)
-STEP_TFLOPS_ANCHOR = 5.135
+# derivation is authoritative now.) 5.135 -> 4.833 when the subwindow
+# path landed: the 96px branch's sub-window stages stopped computing pad
+# rows/columns, so the step genuinely does fewer FLOPs (round 4).
+STEP_TFLOPS_ANCHOR = 4.833
 V5E_PEAK_BF16_TFLOPS = 197.0     # chip spec
 V5E_MEASURED_DENSE_TFLOPS = 151.7  # 8192^3 bf16 GEMM on this chip (PERF.md)
 

@@ -103,6 +103,13 @@ class SwinConfig:
     fused_block_stages: tuple[int, ...] = (0, 1, 2)
     # Run the fused block kernel in Pallas interpret mode (CPU parity tests).
     fused_block_interpret: bool = False
+    # Virtual-pad-column path for single-padded-window shapes (Hp == ws >
+    # H, e.g. the 96px crop branch's stage 3, where only 9 of 49 window
+    # tokens are real): exact reference math — pad keys/values are the qkv
+    # bias, so all pad columns collapse into one in-graph logsumexp column
+    # (models/swin.py SwinBlock._subwindow). Removes the 5.4x pad waste
+    # the round-4 profile measured at ~16 ms/step.
+    subwindow_opt: bool = True
     # Kernel-dispatch tuning knobs (authoritative here so the chosen kernel
     # layout is recorded with the run config; the ESVIT_* env vars only seed
     # the defaults at config construction). packed_*: the packed

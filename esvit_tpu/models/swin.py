@@ -268,6 +268,7 @@ class SwinBlock(nn.Module):
     fused_block: bool = False
     fused_interpret: bool = False
     kernel_knobs: tuple = (1, 2400, 2, 3, 32)
+    subwindow_opt: bool = True
     dtype: Dtype = jnp.float32
 
     def _drop_path_scales(self, B, C, deterministic):
@@ -324,6 +325,97 @@ class SwinBlock(nn.Module):
             knobs=self.kernel_knobs[2:])
         return out, None
 
+    def _subwindow(self, x, H, W, deterministic):
+        """Single-padded-window block (Hp == Wp == ws > H): the exact
+        reference math without ever materializing pad rows.
+
+        Reference semantics (models/swin_transformer.py:275-333): the
+        feature map is zero-padded AFTER norm1, the (un-masked, for
+        W-MSA) attention runs over the full ws*ws window, and pad
+        outputs are cropped before the FFN. Because pad rows enter the
+        qkv projection as exact zeros, every pad token's key/value is
+        the projection bias itself (k_pad = b_k, v_pad = b_v) — so for
+        each (query, head) the ENTIRE pad-column block of the softmax
+        collapses into one virtual column whose logit is
+
+            q . b_k * scale + log sum_p exp(bias[pos_q, p] + mask[pos_q, p])
+
+        (the sum runs over pad positions p; a tiny in-graph logsumexp
+        over the learned rel-pos table, so table gradients flow exactly
+        as through the reference's materialized pad columns) and whose
+        value row is b_v. Attention is then softmax over H*W+1 columns
+        instead of ws*ws — at the 96px crop branch's stage 3 (3x3 real
+        tokens in a 7x7 window) this removes the 5.4x pad waste the
+        round-4 profile measured at ~16 ms/step. Shifted blocks fold
+        the reference's roll into the trace-time position map (rolling
+        a fully-padded border moves real tokens, never mixes them) and
+        carry the -100 region mask on both real and pad columns."""
+        B, L, C = x.shape
+        ws, ss = self.window_size, self.shift_size
+        nH = self.num_heads
+        hd = C // nH
+        scale = self.qk_scale or hd ** -0.5
+        N = ws * ws
+
+        norm1 = LayerNorm(self.norm_eps, self.dtype, name="norm1")
+        table, (wqkv, bqkv), (wp, bp) = _AttnParams(
+            C, ws, nH, self.qkv_bias, name="attn")()
+        dp = DropPath(self.drop_path, name="drop_path")
+        norm2 = LayerNorm(self.norm_eps, self.dtype, name="norm2")
+        mlp = Mlp(int(self.dim * self.mlp_ratio), drop=self.drop,
+                  dtype=self.dtype, name="mlp")
+
+        # Trace-time geometry: where each real token lands in the padded
+        # (and, for shifted blocks, rolled) ws x ws window. The roll by
+        # -ss on the padded grid maps real row i to (i - ss) % ws.
+        ii, jj = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+        pos = (((ii - ss) % ws) * ws + ((jj - ss) % ws)).reshape(-1)
+        pad_pos = np.setdiff1d(np.arange(N), pos)
+
+        idx = wops.relative_position_index(ws, ws)
+        bias_full = table[idx.reshape(-1)].reshape(N, N, nH)    # f32
+        bias_real = bias_full[pos[:, None], pos[None, :]]       # (L, L, nH)
+        bias_pad = bias_full[pos[:, None], pad_pos[None, :]]    # (L, P, nH)
+        if ss > 0:
+            m = np.asarray(wops.shifted_window_mask(H, W, ws, ss),
+                           np.float32)[0]                        # (N, N)
+            bias_real = bias_real + m[pos[:, None], pos[None, :], None]
+            bias_pad = bias_pad + m[pos[:, None], pad_pos[None, :], None]
+        log_s = jax.nn.logsumexp(bias_pad, axis=1)               # (L, nH)
+
+        shortcut = x
+        y = norm1(x)
+        # flax Dense numerics: all-bf16 operands under mixed precision
+        # (f32 MXU accumulation is XLA's bf16-dot default).
+        cd = self.dtype
+        qkv = y.astype(cd) @ wqkv.astype(cd)
+        if self.qkv_bias:
+            qkv = qkv + bqkv.astype(cd)
+        qkv = qkv.reshape(B, L, 3, nH, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        sd = self.score_dtype
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k,
+                          preferred_element_type=sd)
+        attn = attn + bias_real.transpose(2, 0, 1)[None].astype(sd)
+        b_k = bqkv[C:2 * C].reshape(nH, hd)
+        b_v = bqkv[2 * C:].reshape(nH, hd)
+        lv = jnp.einsum("bnhd,hd->bhn", q * scale, b_k.astype(cd),
+                        preferred_element_type=sd)
+        lv = lv + log_s.T[None].astype(sd)                       # (B, nH, L)
+        probs = softmax_fp32(jnp.concatenate(
+            [attn.astype(jnp.float32), lv[..., None].astype(jnp.float32)],
+            axis=-1))                                            # (B,nH,L,L+1)
+        out = jnp.einsum("bhnm,bmhd->bnhd", probs[..., :L].astype(cd), v)
+        out = out + jnp.einsum("bhn,hd->bnhd", probs[..., L].astype(cd),
+                               b_v.astype(cd))
+        out = out.reshape(B, L, C)
+        out = out.astype(cd) @ wp.astype(cd) + bp.astype(cd)
+        out = nn.Dropout(self.drop)(out, deterministic=deterministic)
+
+        x = shortcut + dp(out, deterministic)
+        y2 = mlp(norm2(x), deterministic)
+        return x + dp(y2, deterministic)
+
     @nn.compact
     def __call__(self, x, deterministic: bool = True,
                  return_attention: bool = False,
@@ -336,6 +428,14 @@ class SwinBlock(nn.Module):
             # Padded window-major layout: only the fused megakernel consumes
             # it (the stage driver gates eligibility before choosing it).
             return self._fused(x, deterministic, window_major)
+
+        if window_major is None and self.subwindow_opt:
+            B, L, C = x.shape
+            H = W = int(math.isqrt(L))
+            Hp, Wp = wops.pad_to_window_multiple(H, W, self.window_size)
+            if ((Hp, Wp) == (self.window_size,) * 2 and (Hp, Wp) != (H, W)
+                    and not return_attention and self.attn_drop == 0.0):
+                return self._subwindow(x, H, W, deterministic), None
 
         norm1 = LayerNorm(self.norm_eps, self.dtype, name="norm1")
         attn_mod = WindowAttention(
@@ -474,6 +574,7 @@ class SwinStage(nn.Module):
     fused_block: bool = False
     fused_interpret: bool = False
     kernel_knobs: tuple = (1, 2400, 2, 3, 32)
+    subwindow_opt: bool = True
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -501,7 +602,8 @@ class SwinStage(nn.Module):
                 score_dtype=self.score_dtype,
                 fused_block=self.fused_block,
                 fused_interpret=self.fused_interpret,
-                kernel_knobs=self.kernel_knobs, dtype=self.dtype,
+                kernel_knobs=self.kernel_knobs,
+                subwindow_opt=self.subwindow_opt, dtype=self.dtype,
                 name=f"blocks_{i}",
             )
             for i in range(self.depth)
@@ -520,7 +622,13 @@ class SwinStage(nn.Module):
         the classic path (golden parity tests cover both); disabled when
         capturing (aux consumers expect spatial tokens).
         """
-        if layout_opt and capture is None and len(self.blocks) > 0:
+        if (layout_opt and capture is None and len(self.blocks) > 0
+                and not self._subwindow_ok(x)):
+            # Single-padded-window shapes skip BOTH stage drivers and fall
+            # through to the plain block loop, where each block takes its
+            # virtual-pad-column path (SwinBlock._subwindow) — strictly
+            # less work than either the window-major XLA path (ws*ws pad
+            # rows) or the fused kernel (Np padded slots per window).
             if self.fused_block and self._fused_ok(x):
                 return self._forward_fused(x, deterministic), []
             return self._forward_window_major(x, deterministic), []
@@ -580,6 +688,18 @@ class SwinStage(nn.Module):
             x = self.merge(x)
         return x
 
+    def _subwindow_ok(self, x) -> bool:
+        """Whether this stage's shape is a single spatially-padded window
+        per image (Hp == Wp == ws > H) eligible for the virtual-pad-column
+        block path."""
+        if not self.subwindow_opt or self.attn_drop != 0.0:
+            return False
+        B, L, C = x.shape
+        H = W = int(math.isqrt(L))
+        ws = self.blocks[0].window_size
+        Hp, Wp = wops.pad_to_window_multiple(H, W, ws)
+        return (Hp, Wp) == (ws, ws) and (Hp, Wp) != (H, W)
+
     def _fused_ok(self, x) -> bool:
         """Whether the block-fused megakernel path can run this stage."""
         from esvit_tpu.ops import fused_block as fb
@@ -595,7 +715,8 @@ class SwinStage(nn.Module):
         nW = (Hp // ws) * (Wp // ws)
         Np = wops.padded_window_tokens(ws)
         return fb.supports(B, nW * Np, ws * ws, self.num_heads, nW,
-                           knobs=self.kernel_knobs[2:])
+                           knobs=self.kernel_knobs[2:],
+                           C=C, M=int(C * self.mlp_ratio))
 
     def _forward_fused(self, x, deterministic: bool):
         """Whole stage in the PADDED window-major layout (ops/window.py):
@@ -696,6 +817,7 @@ class SwinTransformer(nn.Module):
                 kernel_knobs=(c.stage_kernel_knobs(i)
                               if hasattr(c, "stage_kernel_knobs")
                               else (1, 2400, 2, 3, 32)),
+                subwindow_opt=getattr(c, "subwindow_opt", True),
                 dtype=self.dtype, name=f"layers_{i}",
             ))
         self.stages = stages
