@@ -22,6 +22,7 @@ window multiple after norm1, exactly like swin_transformer.py:286-291.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Optional
 
 import flax.linen as nn
@@ -34,6 +35,12 @@ from esvit_tpu.models.common import (DropPath, LayerNorm, Mlp, dense,
                                      softmax_fp32, trunc_normal_init)
 from esvit_tpu.models.registry import register_backbone
 from esvit_tpu.ops import window as wops
+
+# Pad-ratio (ws^2 / real tokens) above which the subwindow virtual-pad-
+# column path takes priority over the fused megakernel when BOTH can run
+# a single-padded-window stage (e.g. 6x6 tokens in a 7x7 window: ratio
+# 1.36). 1.0 = subwindow always wins. Env-seeded for A/B measurement.
+_SUBWIN_RATIO = float(os.environ.get("ESVIT_SUBWIN_RATIO", "1.0"))
 
 Dtype = Any
 
@@ -51,8 +58,44 @@ class Static:
     def __getitem__(self, k):
         return self.value[k]
 
+    def get(self, k, default=None):
+        return self.value.get(k, default)
+
     def __hash__(self):
         return id(self.value)
+
+
+def _subwindow_geometry(H, W, ws, ss):
+    """Trace-time geometry of the single-padded-window layout (Hp == Wp ==
+    ws > H): positions of the H*W real tokens in the (rolled, for shifted
+    blocks) ws x ws window, the pad positions, and the reference shift
+    mask (swin_transformer.py:249-272) or None. The reference's roll by
+    -ss on the padded grid maps real row i to (i - ss) % ws."""
+    N = ws * ws
+    ii, jj = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    pos = (((ii - ss) % ws) * ws + ((jj - ss) % ws)).reshape(-1)
+    pad_pos = np.setdiff1d(np.arange(N), pos)
+    m = (np.asarray(wops.shifted_window_mask(H, W, ws, ss), np.float32)[0]
+         if ss > 0 else None)
+    return pos, pad_pos, m
+
+
+def _subwindow_bias_parts(table, ws, pos, pad_pos, m):
+    """(bias_real (L, L, nH), log_s (L, nH)) from the learned rel-pos
+    table: the real-token bias (+shift mask) and the per-(query, head)
+    logsumexp of the pad columns' bias (+mask) — the virtual pad column's
+    position-dependent logit term. In-graph so table gradients flow
+    exactly as through the reference's materialized pad columns."""
+    N = ws * ws
+    nH = table.shape[-1]
+    idx = wops.relative_position_index(ws, ws)
+    bias_full = table[idx.reshape(-1)].reshape(N, N, nH)        # f32
+    bias_real = bias_full[pos[:, None], pos[None, :]]
+    bias_pad = bias_full[pos[:, None], pad_pos[None, :]]
+    if m is not None:
+        bias_real = bias_real + m[pos[:, None], pos[None, :], None]
+        bias_pad = bias_pad + m[pos[:, None], pad_pos[None, :], None]
+    return bias_real, jax.nn.logsumexp(bias_pad, axis=1)
 
     def __eq__(self, other):
         return isinstance(other, Static) and self.value is other.value
@@ -286,12 +329,20 @@ class SwinBlock(nn.Module):
                 jnp.broadcast_to(m2[:, None, None], (B, 8, C)).reshape(-1, C))
 
     def _fused(self, x, deterministic, window_major):
-        """Whole-block Pallas megakernel path (ops/fused_block.py)."""
+        """Whole-block Pallas megakernel path (ops/fused_block.py).
+
+        When ``window_major`` carries a ``subwindow`` geometry, the block
+        runs on the AUGMENTED single window: H*W real tokens plus one
+        virtual token standing in for every spatial-pad position. The
+        kernel's per-row pad multiplier zeroes the virtual row after LN1,
+        so its key/value are exactly the qkv biases (the reference's pad
+        semantics), and the bias operand carries the virtual column's
+        per-(query, head) logsumexp term — same math as
+        SwinBlock._subwindow, executed VMEM-resident."""
         from esvit_tpu.ops import fused_block as fb
 
         B, L, C = x.shape
         ws = self.window_size
-        N = ws * ws
         nH = self.num_heads
         table, (wqkv, bqkv), (wp, bp) = _AttnParams(
             C, ws, nH, self.qkv_bias, name="attn")()
@@ -300,8 +351,18 @@ class SwinBlock(nn.Module):
         hidden = int(C * self.mlp_ratio)
         (w1, b1), (w2, b2) = _MlpParams(C, hidden, name="mlp")()
 
-        idx = wops.relative_position_index(ws, ws)
-        bias = table[idx.reshape(-1)].reshape(N, N, nH).transpose(2, 0, 1)
+        sub = window_major.get("subwindow")
+        if sub is not None:
+            N = window_major["N"]
+            Nr = N - 1
+            bias_real, log_s = _subwindow_bias_parts(table, ws, *sub)
+            bias = jnp.zeros((nH, N, N), jnp.float32)
+            bias = bias.at[:, :Nr, :Nr].set(bias_real.transpose(2, 0, 1))
+            bias = bias.at[:, :Nr, Nr].set(log_s.T)
+        else:
+            N = ws * ws
+            idx = wops.relative_position_index(ws, ws)
+            bias = table[idx.reshape(-1)].reshape(N, N, nH).transpose(2, 0, 1)
 
         params = dict(
             g1=g1, be1=be1,
@@ -365,23 +426,8 @@ class SwinBlock(nn.Module):
         mlp = Mlp(int(self.dim * self.mlp_ratio), drop=self.drop,
                   dtype=self.dtype, name="mlp")
 
-        # Trace-time geometry: where each real token lands in the padded
-        # (and, for shifted blocks, rolled) ws x ws window. The roll by
-        # -ss on the padded grid maps real row i to (i - ss) % ws.
-        ii, jj = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
-        pos = (((ii - ss) % ws) * ws + ((jj - ss) % ws)).reshape(-1)
-        pad_pos = np.setdiff1d(np.arange(N), pos)
-
-        idx = wops.relative_position_index(ws, ws)
-        bias_full = table[idx.reshape(-1)].reshape(N, N, nH)    # f32
-        bias_real = bias_full[pos[:, None], pos[None, :]]       # (L, L, nH)
-        bias_pad = bias_full[pos[:, None], pad_pos[None, :]]    # (L, P, nH)
-        if ss > 0:
-            m = np.asarray(wops.shifted_window_mask(H, W, ws, ss),
-                           np.float32)[0]                        # (N, N)
-            bias_real = bias_real + m[pos[:, None], pos[None, :], None]
-            bias_pad = bias_pad + m[pos[:, None], pad_pos[None, :], None]
-        log_s = jax.nn.logsumexp(bias_pad, axis=1)               # (L, nH)
+        pos, pad_pos, m = _subwindow_geometry(H, W, ws, ss)
+        bias_real, log_s = _subwindow_bias_parts(table, ws, pos, pad_pos, m)
 
         shortcut = x
         y = norm1(x)
@@ -622,16 +668,21 @@ class SwinStage(nn.Module):
         the classic path (golden parity tests cover both); disabled when
         capturing (aux consumers expect spatial tokens).
         """
-        if (layout_opt and capture is None and len(self.blocks) > 0
-                and not self._subwindow_ok(x)):
-            # Single-padded-window shapes skip BOTH stage drivers and fall
-            # through to the plain block loop, where each block takes its
-            # virtual-pad-column path (SwinBlock._subwindow) — strictly
-            # less work than either the window-major XLA path (ws*ws pad
-            # rows) or the fused kernel (Np padded slots per window).
-            if self.fused_block and self._fused_ok(x):
-                return self._forward_fused(x, deterministic), []
-            return self._forward_window_major(x, deterministic), []
+        if layout_opt and capture is None and len(self.blocks) > 0:
+            if self._subwindow_ok(x):
+                # Single-padded-window shapes: virtual-pad-column math —
+                # through the fused megakernel on the AUGMENTED H*W+1
+                # window when it supports the layout (strictly fewer rows
+                # than the padded-window fused path: Np(aug) < Np * nW),
+                # else the plain block loop below (SwinBlock._subwindow's
+                # XLA path).
+                if self.fused_block and self._subwindow_fused_ok(x):
+                    return self._forward_fused_subwindow(
+                        x, deterministic), []
+            else:
+                if self.fused_block and self._fused_ok(x):
+                    return self._forward_fused(x, deterministic), []
+                return self._forward_window_major(x, deterministic), []
         aux = []
         for blk in self.blocks:
             # full positional arity: nn.remat static_argnums binds by position
@@ -691,14 +742,24 @@ class SwinStage(nn.Module):
     def _subwindow_ok(self, x) -> bool:
         """Whether this stage's shape is a single spatially-padded window
         per image (Hp == Wp == ws > H) eligible for the virtual-pad-column
-        block path."""
+        block path. When the fused megakernel is also available for the
+        shape, subwindow takes priority only above a pad-ratio threshold
+        (ws^2 real-token multiple); at mild ratios the fused kernel's
+        VMEM residency can beat the row savings — the threshold is the
+        measured crossover (PERF.md round 4)."""
         if not self.subwindow_opt or self.attn_drop != 0.0:
             return False
         B, L, C = x.shape
         H = W = int(math.isqrt(L))
         ws = self.blocks[0].window_size
         Hp, Wp = wops.pad_to_window_multiple(H, W, ws)
-        return (Hp, Wp) == (ws, ws) and (Hp, Wp) != (H, W)
+        if (Hp, Wp) != (ws, ws) or (Hp, Wp) == (H, W):
+            return False
+        ratio = (ws * ws) / (H * W)
+        if (ratio < _SUBWIN_RATIO and self.fused_block
+                and self._fused_ok(x)):
+            return False
+        return True
 
     def _fused_ok(self, x) -> bool:
         """Whether the block-fused megakernel path can run this stage."""
@@ -717,6 +778,54 @@ class SwinStage(nn.Module):
         return fb.supports(B, nW * Np, ws * ws, self.num_heads, nW,
                            knobs=self.kernel_knobs[2:],
                            C=C, M=int(C * self.mlp_ratio))
+
+    def _subwindow_fused_ok(self, x) -> bool:
+        """Whether the fused megakernel can run this stage on the
+        AUGMENTED single window (H*W real tokens + 1 virtual pad token)."""
+        from esvit_tpu.ops import fused_block as fb
+
+        if not (jax.default_backend() == "tpu" or self.fused_interpret):
+            return False
+        if self.drop != 0.0 or self.attn_drop != 0.0:
+            return False
+        B, L, C = x.shape
+        N = L + 1
+        Np = ((N + 7) // 8) * 8
+        return fb.supports(B, Np, N, self.num_heads, 1,
+                           knobs=self.kernel_knobs[2:],
+                           C=C, M=int(C * self.mlp_ratio))
+
+    def _forward_fused_subwindow(self, x, deterministic: bool):
+        """Sub-window stage through the fused megakernel: each image is
+        ONE augmented window of N = H*W + 1 tokens (real tokens + the
+        virtual pad-column token), padded to Np slots. No inter-block
+        layout transitions exist — a single window is already window-major
+        and the shift rides the bias (SwinBlock._fused subwindow branch).
+        The virtual token's input row is zeroed by the kernel's pad
+        multiplier every block, so its k/v are the qkv biases in every
+        block, exactly like the reference's freshly re-padded rows."""
+        B, L, C = x.shape
+        H = W = int(math.isqrt(L))
+        ws = self.blocks[0].window_size
+        N = L + 1
+        Np = ((N + 7) // 8) * 8
+        x = jnp.pad(x, ((0, 0), (0, Np - L), (0, 0)))
+        pad_vec = np.zeros(Np, np.float32)
+        pad_vec[:L] = 1.0
+        for blk in self.blocks:
+            wm = Static({
+                "region": None,
+                "pad_mask": pad_vec,
+                "n_windows": 1,
+                "padded": True,
+                "N": N,
+                "subwindow": _subwindow_geometry(H, W, ws, blk.shift_size),
+            })
+            x, _ = blk(x, deterministic, False, wm)
+        x = x[:, :L, :]
+        if self.downsample:
+            x = self.merge(x)
+        return x
 
     def _forward_fused(self, x, deterministic: bool):
         """Whole stage in the PADDED window-major layout (ops/window.py):

@@ -52,6 +52,10 @@ def run_variant(name: str, **model_overrides) -> float:
 
 VARIANTS = {
     "base": {},
+    # Virtual-pad-column path off (round-4 A/B: quantifies the subwindow
+    # win in isolation; run with ESVIT_SUBWIN_RATIO=2.0 to instead keep
+    # stage-2@96 on the fused kernel while stage-3 subwindows).
+    "subwin_off": {"subwindow_opt": False},
     # Stage-3 fusion with the per-stage HG=6 knob (round-3 capability).
     # Re-measured in round 4 because (a) the probs-cache backward landed
     # since the "perf-neutral" verdict and (b) the @224-only neutrality

@@ -138,6 +138,46 @@ def test_stage_routing_shifted_parity():
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("H,ws,shift_enabled", [
+    (3, 7, False),   # 96px stage-3 geometry
+    (6, 7, True),    # 96px stage-2 geometry, alternating shift
+])
+def test_stage_fused_subwindow_parity(H, ws, shift_enabled):
+    """The fused-megakernel augmented-window route (one H*W+1-token
+    window per image, virtual pad column in the bias operand, interpret
+    mode) vs the materialized-pad classic stage."""
+    C, nH = 16, 4
+    kw = dict(dim=C, depth=2, num_heads=nH, window_size=ws,
+              shift_enabled=shift_enabled, mlp_ratio=2.0, qkv_bias=True,
+              qk_scale=None, drop=0.0, attn_drop=0.0,
+              drop_path=(0.0, 0.0), norm_eps=1e-6, downsample=False,
+              dtype=jnp.float32)
+    fast = SwinStage(subwindow_opt=True, fused_block=True,
+                     fused_interpret=True, **kw)
+    ref = SwinStage(subwindow_opt=False, **kw)
+    x = jax.random.normal(jax.random.PRNGKey(9), (2, H * H, C), jnp.float32)
+    params = fast.init(jax.random.PRNGKey(1), x)
+
+    def run(stage, p, xx):
+        y, _ = stage.apply(p, xx, True, None, True)
+        return y
+
+    yf = run(fast, params, x)
+    yr = run(ref, params, x)
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(yr),
+                               rtol=2e-5, atol=2e-5)
+    # Gradient parity through the fused backward kernel (incl. the
+    # rel-pos table via bias_real + the virtual column's logsumexp).
+    gf = jax.grad(lambda p, xx: jnp.sum(jnp.sin(run(fast, p, xx))),
+                  argnums=(0, 1))(params, x)
+    gr = jax.grad(lambda p, xx: jnp.sum(jnp.sin(run(ref, p, xx))),
+                  argnums=(0, 1))(params, x)
+    for a, b in zip(jax.tree_util.tree_leaves(gf),
+                    jax.tree_util.tree_leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-5)
+
+
 def test_no_subwindow_at_divisible_resolutions():
     """H % ws == 0 shapes must NOT take the subwindow path (nothing to
     collapse) — outputs across the two settings are identical programs."""
