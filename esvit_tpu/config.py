@@ -110,6 +110,14 @@ class SwinConfig:
     # (models/swin.py SwinBlock._subwindow). Removes the 5.4x pad waste
     # the round-4 profile measured at ~16 ms/step.
     subwindow_opt: bool = True
+    # Stages allowed to run sub-window shapes through the fused megakernel
+    # on the AUGMENTED window (H*W+1 tokens, SwinStage._forward_fused_
+    # subwindow) instead of the XLA subwindow path. None = follow
+    # fused_block_stages. A separate knob because the augmented kernel is
+    # much smaller than a stage's full fused layout (e.g. stage-3@96 is
+    # N=10/Np=16 at C=768 — cheap — while full stage-3 fusion measured
+    # perf-neutral with a heavy Mosaic compile, PERF.md rounds 3-4).
+    subwindow_fused_stages: tuple[int, ...] | None = None
     # Kernel-dispatch tuning knobs (authoritative here so the chosen kernel
     # layout is recorded with the run config; the ESVIT_* env vars only seed
     # the defaults at config construction). packed_*: the packed

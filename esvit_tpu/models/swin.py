@@ -621,6 +621,10 @@ class SwinStage(nn.Module):
     fused_interpret: bool = False
     kernel_knobs: tuple = (1, 2400, 2, 3, 32)
     subwindow_opt: bool = True
+    # Whether sub-window shapes may take the augmented-window fused
+    # megakernel route (config.subwindow_fused_stages; defaults to the
+    # stage's fused_block setting at model build).
+    subwindow_fused: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -676,7 +680,7 @@ class SwinStage(nn.Module):
                 # than the padded-window fused path: Np(aug) < Np * nW),
                 # else the plain block loop below (SwinBlock._subwindow's
                 # XLA path).
-                if self.fused_block and self._subwindow_fused_ok(x):
+                if self.subwindow_fused and self._subwindow_fused_ok(x):
                     return self._forward_fused_subwindow(
                         x, deterministic), []
             else:
@@ -927,6 +931,11 @@ class SwinTransformer(nn.Module):
                               if hasattr(c, "stage_kernel_knobs")
                               else (1, 2400, 2, 3, 32)),
                 subwindow_opt=getattr(c, "subwindow_opt", True),
+                subwindow_fused=(
+                    i in (getattr(c, "subwindow_fused_stages", None)
+                          if getattr(c, "subwindow_fused_stages", None)
+                          is not None
+                          else getattr(c, "fused_block_stages", ()))),
                 dtype=self.dtype, name=f"layers_{i}",
             ))
         self.stages = stages

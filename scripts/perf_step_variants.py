@@ -56,6 +56,9 @@ VARIANTS = {
     # win in isolation; run with ESVIT_SUBWIN_RATIO=2.0 to instead keep
     # stage-2@96 on the fused kernel while stage-3 subwindows).
     "subwin_off": {"subwindow_opt": False},
+    # Stage-3 sub-window shapes through the augmented-window fused kernel
+    # (default: stage-3@96 runs the XLA subwindow path, ~4.5 ms/step).
+    "subfused3": {"subwindow_fused_stages": (0, 1, 2, 3)},
     # Stage-3 fusion with the per-stage HG=6 knob (round-3 capability).
     # Re-measured in round 4 because (a) the probs-cache backward landed
     # since the "perf-neutral" verdict and (b) the @224-only neutrality

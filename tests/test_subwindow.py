@@ -153,7 +153,7 @@ def test_stage_fused_subwindow_parity(H, ws, shift_enabled):
               drop_path=(0.0, 0.0), norm_eps=1e-6, downsample=False,
               dtype=jnp.float32)
     fast = SwinStage(subwindow_opt=True, fused_block=True,
-                     fused_interpret=True, **kw)
+                     subwindow_fused=True, fused_interpret=True, **kw)
     ref = SwinStage(subwindow_opt=False, **kw)
     x = jax.random.normal(jax.random.PRNGKey(9), (2, H * H, C), jnp.float32)
     params = fast.init(jax.random.PRNGKey(1), x)
