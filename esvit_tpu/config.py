@@ -118,6 +118,13 @@ class SwinConfig:
     # N=10/Np=16 at C=768 — cheap — while full stage-3 fusion measured
     # perf-neutral with a heavy Mosaic compile, PERF.md rounds 3-4).
     subwindow_fused_stages: tuple[int, ...] | None = None
+    # Pad-ratio (ws^2 / real tokens) above which the subwindow path takes
+    # priority over the fused megakernel when BOTH can run a single-
+    # padded-window stage. 1.0 = subwindow always wins. Seeded from the
+    # ESVIT_SUBWIN_RATIO env var at import so A/B runs record the value
+    # in their saved config (authoritative here, like the other knobs).
+    subwindow_ratio: float = float(os.environ.get("ESVIT_SUBWIN_RATIO",
+                                                  "1.0"))
     # Kernel-dispatch tuning knobs (authoritative here so the chosen kernel
     # layout is recorded with the run config; the ESVIT_* env vars only seed
     # the defaults at config construction). packed_*: the packed

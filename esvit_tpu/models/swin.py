@@ -64,6 +64,9 @@ class Static:
     def __hash__(self):
         return id(self.value)
 
+    def __eq__(self, other):
+        return isinstance(other, Static) and self.value is other.value
+
 
 def _subwindow_geometry(H, W, ws, ss):
     """Trace-time geometry of the single-padded-window layout (Hp == Wp ==
@@ -96,9 +99,6 @@ def _subwindow_bias_parts(table, ws, pos, pad_pos, m):
         bias_real = bias_real + m[pos[:, None], pos[None, :], None]
         bias_pad = bias_pad + m[pos[:, None], pad_pos[None, :], None]
     return bias_real, jax.nn.logsumexp(bias_pad, axis=1)
-
-    def __eq__(self, other):
-        return isinstance(other, Static) and self.value is other.value
 
 
 class _DenseParams(nn.Module):
@@ -625,6 +625,8 @@ class SwinStage(nn.Module):
     # megakernel route (config.subwindow_fused_stages; defaults to the
     # stage's fused_block setting at model build).
     subwindow_fused: bool = False
+    # Subwindow-vs-fused crossover (config.subwindow_ratio).
+    subwindow_ratio: float = 1.0
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -760,7 +762,7 @@ class SwinStage(nn.Module):
         if (Hp, Wp) != (ws, ws) or (Hp, Wp) == (H, W):
             return False
         ratio = (ws * ws) / (H * W)
-        if (ratio < _SUBWIN_RATIO and self.fused_block
+        if (ratio < self.subwindow_ratio and self.fused_block
                 and self._fused_ok(x)):
             return False
         return True
@@ -936,6 +938,8 @@ class SwinTransformer(nn.Module):
                           if getattr(c, "subwindow_fused_stages", None)
                           is not None
                           else getattr(c, "fused_block_stages", ()))),
+                subwindow_ratio=getattr(c, "subwindow_ratio",
+                                        _SUBWIN_RATIO),
                 dtype=self.dtype, name=f"layers_{i}",
             ))
         self.stages = stages

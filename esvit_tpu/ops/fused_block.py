@@ -137,7 +137,12 @@ def _vmem_demand(g, tw, hg, Np, nH, nW, C, M):
             + (4 * C * C + 2 * C * M) * it               # weights
             + (4 * C * C + 2 * C * M) * 4)               # weight grads
     probs = G * R * cols_c * 4
-    if _SAVE_PROBS and probs <= _SAVE_PROBS_VMEM_CAP:
+    # Mirror _run's runtime save_probs gate exactly (ADVICE r4): the
+    # cache is also skipped in chunk-loop and skip-attn debug modes, so
+    # counting it there would overestimate demand and silently reject
+    # layouts that fit.
+    if (_SAVE_PROBS and _CHUNK_MODE != "loop" and not _SKIP_ATTN
+            and probs <= _SAVE_PROBS_VMEM_CAP):
         bufs += probs
     return live + bufs
 

@@ -43,6 +43,13 @@ def main():
     p.add_argument("--size", choices=["nano", "femto"], default="nano",
                    help="nano: 3-stage Swin @64px (stronger signal, ~4min); "
                         "femto: 2-stage @32px (~2min)")
+    p.add_argument("--backbone", choices=["swin", "vil"], default="swin",
+                   help="vil: nano Vision-Longformer with two SPARSE "
+                        "(sliding-chunk) stages + global tokens, so the "
+                        "fused kernel (ops/sliding_chunk_fused.py) is on "
+                        "the training path — its learning-level evidence "
+                        "(VERDICT r4 item 1). --no-fused maps to "
+                        "fused_sc='off' (same einsum math, kernel off)")
     p.add_argument("--no-dense", dest="dense", action="store_false",
                    help="disable the region-level (DDINO) task")
     p.add_argument("--task", choices=["shapes", "shapes_hard"],
@@ -93,20 +100,36 @@ def main():
     if args.size == "nano":
         g_size, l_size, img_size = ((96, 48, 160) if args.hires
                                     else (64, 32, 96))
-        model = config.SwinConfig(img_size=g_size, patch_size=4, embed_dim=32,
-                                  depths=(2, 2, 2), num_heads=(2, 4, 4),
-                                  window_size=4, drop_path_rate=0.0)
+        if args.backbone == "vil":
+            # Two sparse stages (s1) with a global CLS token (g1) so the
+            # sliding-chunk path — and with fused_sc='auto', the fused
+            # Pallas kernel — carries most of the compute; final stage
+            # full-attention like the canonical ViL-T tail.
+            model = config.vil_from_arch(
+                "l1,h2,d32,n2,s1,g1,p4,f4_l2,h4,d64,n2,s1,g1,p2,f4_"
+                "l3,h4,d128,n2,s0,g1,p2,f4",
+                img_size=g_size)
+        else:
+            model = config.SwinConfig(img_size=g_size, patch_size=4,
+                                      embed_dim=32, depths=(2, 2, 2),
+                                      num_heads=(2, 4, 4), window_size=4,
+                                      drop_path_rate=0.0)
     else:
         assert not args.hires, "--hires is a nano-size configuration"
+        assert args.backbone == "swin", "--size femto is Swin-only"
         model = config.swin_femto(drop_path_rate=0.0)
         g_size, l_size, img_size = 32, 16, 64
     overrides = {}
-    if not args.fused:
-        overrides["fused_block_stages"] = ()
-    if not args.layout:
-        overrides["layout_opt"] = False
-    if args.score_dtype:
-        overrides["score_dtype"] = args.score_dtype
+    if args.backbone == "vil":
+        if not args.fused:
+            overrides["fused_sc"] = "off"
+    else:
+        if not args.fused:
+            overrides["fused_block_stages"] = ()
+        if not args.layout:
+            overrides["layout_opt"] = False
+        if args.score_dtype:
+            overrides["score_dtype"] = args.score_dtype
     if overrides:
         model = _dc.replace(model, **overrides)
     crops = config.CropConfig(global_size=g_size, global_scale=(0.4, 1.0),
@@ -170,8 +193,20 @@ def main():
             state, metrics = step_fn(state, batch, sub)
             steps_done += 1
             if steps_done % 50 == 0:
-                print(f"step {steps_done}: loss {float(metrics['loss']):.4f} "
-                      f"({time.time() - t0:.0f}s)", flush=True)
+                line = (f"step {steps_done}: loss "
+                        f"{float(metrics['loss']):.4f} "
+                        f"({time.time() - t0:.0f}s)")
+                if steps_done % 500 == 0:
+                    # Long-horizon stability telemetry: DINO center EMAs
+                    # must stay bounded (collapse/NaN show up here first).
+                    c = jax.device_get(state.centers)
+                    cmax = float(np.abs(np.asarray(c.center)).max())
+                    line += f" |center|max {cmax:.3f}"
+                    if getattr(c, "center_grid", None) is not None:
+                        line += (" |center_grid|max "
+                                 f"{float(np.abs(np.asarray(c.center_grid)).max()):.3f}")
+                    assert math.isfinite(cmax), "center EMA went non-finite"
+                print(line, flush=True)
             if steps_done >= args.steps:
                 break
         epoch += 1
@@ -179,6 +214,7 @@ def main():
     acc_after = knn_accuracy(jax.device_get(state.teacher), "trained")
     print(f"\nresult: {acc_before:.1f}% -> {acc_after:.1f}% "
           f"({args.steps} steps, {time.time() - t0:.0f}s, task={args.task}, "
+          f"backbone={args.backbone}, fused={args.fused}, "
           f"host_aug={args.host_aug}, hires={args.hires})", flush=True)
     min_gain = args.min_gain
     if min_gain is None:
