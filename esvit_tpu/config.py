@@ -117,7 +117,13 @@ class SwinConfig:
     # much smaller than a stage's full fused layout (e.g. stage-3@96 is
     # N=10/Np=16 at C=768 — cheap — while full stage-3 fusion measured
     # perf-neutral with a heavy Mosaic compile, PERF.md rounds 3-4).
-    subwindow_fused_stages: tuple[int, ...] | None = None
+    # Env-seeded (ESVIT_SUBWIN_FUSED_STAGES="0,1,2,3") so bench A/Bs record
+    # the stage set in the run config, like the other kernel knobs.
+    subwindow_fused_stages: tuple[int, ...] | None = field(
+        default_factory=lambda: (
+            tuple(int(s)
+                  for s in os.environ["ESVIT_SUBWIN_FUSED_STAGES"].split(","))
+            if os.environ.get("ESVIT_SUBWIN_FUSED_STAGES") else None))
     # Pad-ratio (ws^2 / real tokens) above which the subwindow path takes
     # priority over the fused megakernel when BOTH can run a single-
     # padded-window stage. 1.0 = subwindow always wins. Seeded from the

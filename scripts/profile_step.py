@@ -43,6 +43,12 @@ def capture(out_dir: str) -> None:
              jax.random.normal(rng, (8 * B, 96, 96, 3), jnp.float32))
     state = trainer.init_state(rng, batch)
     step = jax.jit(trainer.train_step)
+    # Dump the optimized HLO so aggregate() can map trace event names
+    # (fusion.1234, copy.567) back to shapes + JAX source ops.
+    os.makedirs(out_dir, exist_ok=True)
+    compiled = step.lower(state, batch, jax.random.PRNGKey(1)).compile()
+    with gzip.open(os.path.join(out_dir, "hlo.txt.gz"), "wt") as f:
+        f.write(compiled.as_text())
     state, metrics = step(state, batch, jax.random.PRNGKey(1))
     _ = float(metrics["loss"])
     t0 = time.perf_counter()
@@ -100,6 +106,33 @@ def aggregate(out_dir: str, top: int) -> None:
     print(f"\n top {top} ops (ms over 3 steps):")
     for name, dur in by_name.most_common(top):
         print(f"  {dur/1e3:9.2f}  {name}")
+
+    # ---- per-HLO detail: map the big generic buckets (fusion.N, copy.N)
+    # back to shapes + JAX source via the dumped optimized HLO text.
+    hlo_path = os.path.join(out_dir, "hlo.txt.gz")
+    if not os.path.exists(hlo_path):
+        return
+    meta = {}
+    head_pat = re.compile(r"^\s*(?:ROOT\s+)?%?([\w.\-]+) = (\S+) (\w+)\(")
+    op_pat = re.compile(r'op_name="([^"]*)"')
+    with gzip.open(hlo_path, "rt") as f:
+        for line in f:
+            m = head_pat.match(line)
+            if m:
+                name, shape, opcode = m.groups()
+                om = op_pat.search(line)
+                meta[name] = (shape, opcode, om.group(1) if om else "")
+    by_full = collections.Counter()
+    for e in xs:
+        by_full[e["name"]] += e.get("dur", 0)
+    print(f"\n top {top} individual HLOs (ms over 3 steps):")
+    for name, dur in by_full.most_common(top):
+        shape, opcode, op_name = meta.get(name, ("?", "?", ""))
+        # Trim the op_name to the informative tail (jit(train_step)/... ).
+        op_name = re.sub(r"^jit\([\w_]+\)/", "", op_name)
+        if len(op_name) > 110:
+            op_name = "..." + op_name[-107:]
+        print(f"  {dur/1e3:9.2f}  {name:24s} {shape:34s} {op_name}")
 
 
 if __name__ == "__main__":

@@ -73,6 +73,15 @@ def main():
                    help="required (after - before) k-NN gain in points; "
                         "defaults: 5 for shapes, 10 for shapes_hard")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--eval_every", type=int, default=0,
+                   help="run the teacher k-NN eval every N steps (long-"
+                        "horizon collapse telemetry: the margin trajectory "
+                        "shows partial-collapse phases, not just the end "
+                        "point)")
+    p.add_argument("--max_seconds", type=float, default=None,
+                   help="stop training after this wall-clock budget (the "
+                        "final eval + gate still run on whatever step count "
+                        "was reached — for bounded long-horizon runs)")
     p.add_argument("--lr", type=float, default=None,
                    help="peak learning rate (defaults: 8e-3 shapes, "
                         "4e-3 shapes_hard — the hard task's textured "
@@ -185,13 +194,24 @@ def main():
     t0 = time.time()
     steps_done = 0
     epoch = 0
-    while steps_done < args.steps:
+    out_of_time = False
+    while steps_done < args.steps and not out_of_time:
         it = MultiCropIterator(train_ds, crops, B, epoch=epoch, seed=0,
                                host_aug=args.host_aug, num_threads=4)
         for batch in it:
             rng, sub = jax.random.split(rng)
             state, metrics = step_fn(state, batch, sub)
             steps_done += 1
+            if args.eval_every and steps_done % args.eval_every == 0 \
+                    and steps_done < args.steps:
+                knn_accuracy(jax.device_get(state.teacher),
+                             f"step {steps_done}")
+            if (args.max_seconds is not None
+                    and time.time() - t0 > args.max_seconds):
+                print(f"[budget] stopping at step {steps_done} after "
+                      f"{time.time() - t0:.0f}s", flush=True)
+                out_of_time = True
+                break
             if steps_done % 50 == 0:
                 line = (f"step {steps_done}: loss "
                         f"{float(metrics['loss']):.4f} "
@@ -213,7 +233,7 @@ def main():
 
     acc_after = knn_accuracy(jax.device_get(state.teacher), "trained")
     print(f"\nresult: {acc_before:.1f}% -> {acc_after:.1f}% "
-          f"({args.steps} steps, {time.time() - t0:.0f}s, task={args.task}, "
+          f"({steps_done} steps, {time.time() - t0:.0f}s, task={args.task}, "
           f"backbone={args.backbone}, fused={args.fused}, "
           f"host_aug={args.host_aug}, hires={args.hires})", flush=True)
     min_gain = args.min_gain
