@@ -16,10 +16,11 @@ import pytest
 from esvit_tpu.models.vil_layers import Long2DSCAttention
 
 
-def _mk(nx, ny, nglo, dim=24, heads=3, B=2, seed=0, dtype=jnp.float32):
+def _mk(nx, ny, nglo, dim=24, heads=3, B=2, seed=0, dtype=jnp.float32,
+        window=7):
     rng = jax.random.PRNGKey(seed)
     x = jax.random.normal(rng, (B, nglo + nx * ny, dim), dtype)
-    kw = dict(dim=dim, num_heads=heads, window=7, nglo=nglo, rpe=False,
+    kw = dict(dim=dim, num_heads=heads, window=window, nglo=nglo, rpe=False,
               dtype=dtype)
     a_ein = Long2DSCAttention(fused_sc="off", **kw)
     a_fus = Long2DSCAttention(fused_sc="interpret", **kw)
@@ -57,6 +58,31 @@ def test_gradient_parity(nx, ny, nglo):
     flat_r, _ = jax.tree.flatten(g_ref)
     flat_f, _ = jax.tree.flatten(g_fus)
     for r, f in zip(flat_r, flat_f):
+        np.testing.assert_allclose(np.asarray(f), np.asarray(r),
+                                   rtol=5e-5, atol=5e-5)
+
+
+@pytest.mark.parametrize("nx,ny,window,dim,heads", [
+    (16, 16, 4, 32, 2),    # nano ViL stage-1 @64px — the learning-gate shape
+    (8, 8, 4, 64, 4),      # nano ViL stage-2
+])
+def test_gate_shape_parity(nx, ny, window, dim, heads):
+    """The validate_learning --backbone vil config runs window=4 (not the
+    W=7 of the cases above); pin fwd+grad parity at those exact shapes."""
+    a_ein, a_fus, v, x = _mk(nx, ny, 1, dim=dim, heads=heads, window=window)
+    ref = a_ein.apply(v, x, nx, ny)
+    out = a_fus.apply(v, x, nx, ny)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss(mod, v, x):
+        out = mod.apply(v, x, nx, ny)
+        return jnp.sum(out * jnp.cos(jnp.arange(out.size, dtype=jnp.float32)
+                                     .reshape(out.shape)))
+
+    g_ref = jax.grad(lambda v, x: loss(a_ein, v, x), argnums=(0, 1))(v, x)
+    g_fus = jax.grad(lambda v, x: loss(a_fus, v, x), argnums=(0, 1))(v, x)
+    for r, f in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_fus)):
         np.testing.assert_allclose(np.asarray(f), np.asarray(r),
                                    rtol=5e-5, atol=5e-5)
 
