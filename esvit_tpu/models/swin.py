@@ -719,11 +719,9 @@ class SwinStage(nn.Module):
         for blk in self.blocks:
             t = blk.shift_size
             if cur is None:
-                perm = wops.window_major_perm(Hp, Wp, ws, t)
-                x = x[:, jnp.asarray(perm), :]
+                x = wops.to_window_major(x, Hp, Wp, ws, t)
             elif cur != t:
-                trans = wops.layout_transition(Hp, Wp, ws, cur, t)
-                x = x[:, jnp.asarray(trans), :]
+                x = wops.transition_window_major(x, Hp, Wp, ws, cur, t)
             cur = t
             wm = Static({
                 "mask": (wops.shifted_window_mask(H, W, ws, t) if t > 0
@@ -737,8 +735,7 @@ class SwinStage(nn.Module):
             })
             x, _ = blk(x, deterministic, False, wm)
 
-        inv = wops.window_major_inverse(Hp, Wp, ws, cur)
-        x = x[:, jnp.asarray(inv), :]
+        x = wops.from_window_major(x, Hp, Wp, ws, cur)
         if padded:
             x = x.reshape(B, Hp, Wp, C)[:, :H, :W, :].reshape(B, L, C)
         if self.downsample:
@@ -852,11 +849,9 @@ class SwinStage(nn.Module):
         for blk in self.blocks:
             t = blk.shift_size
             if cur is None:
-                perm = wops.window_major_perm_padded(Hp, Wp, ws, t)
-                x = x[:, jnp.asarray(perm), :]
+                x = wops.to_window_major_padded(x, Hp, Wp, ws, t)
             elif cur != t:
-                trans = wops.layout_transition_padded(Hp, Wp, ws, cur, t)
-                x = x[:, jnp.asarray(trans), :]
+                x = wops.transition_window_major_padded(x, Hp, Wp, ws, cur, t)
             cur = t
             wm = Static({
                 "region": (wops.window_region_ids(H, W, ws, t) if t > 0
@@ -869,8 +864,7 @@ class SwinStage(nn.Module):
             })
             x, _ = blk(x, deterministic, False, wm)
 
-        inv = wops.padded_to_spatial_perm(Hp, Wp, ws, cur)
-        x = x[:, jnp.asarray(inv), :]
+        x = wops.from_window_major_padded(x, Hp, Wp, ws, cur)
         if spatial_padded:
             x = x.reshape(B, Hp, Wp, C)[:, :H, :W, :].reshape(B, L, C)
         else:

@@ -202,6 +202,108 @@ def layout_transition_padded(Hp: int, Wp: int, window_size: int,
     return out.reshape(-1)
 
 
+# --- Structured layout movement (round-5) -----------------------------------
+# The same permutations as the gather tables above, expressed as
+# roll + reshape + transpose + pad chains. Real-slot contents are identical
+# to x[:, perm, :]; dead slots are ZERO instead of the gather's token-0
+# read (both are masked downstream — dead keys get -1e9, dead rows never
+# feed real outputs, and dead-slot cotangents are exactly zero either way).
+# The win is the BACKWARD: a gather's VJP is a scatter-add (the round-5
+# profile measured the stage-0 scatter-adds + their layout copies at
+# several ms/step); these chains' VJPs are slice + transpose + roll.
+
+
+def to_window_major_padded(x: jnp.ndarray, Hp: int, Wp: int,
+                           window_size: int, shift: int) -> jnp.ndarray:
+    """(B, Hp*Wp, C) spatial-major -> (B, nW*Np, C) padded window-major."""
+    B, _, C = x.shape
+    ws = window_size
+    N, Np = ws * ws, padded_window_tokens(ws)
+    x = x.reshape(B, Hp, Wp, C)
+    if shift:
+        x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+    x = x.reshape(B, Hp // ws, ws, Wp // ws, ws, C).transpose(0, 1, 3, 2, 4, 5)
+    x = x.reshape(B, -1, N, C)
+    if Np != N:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, Np - N), (0, 0)))
+    return x.reshape(B, -1, C)
+
+
+def from_window_major_padded(x: jnp.ndarray, Hp: int, Wp: int,
+                             window_size: int, shift: int) -> jnp.ndarray:
+    """Inverse of to_window_major_padded: -> (B, Hp*Wp, C) spatial-major."""
+    B, _, C = x.shape
+    ws = window_size
+    N, Np = ws * ws, padded_window_tokens(ws)
+    x = x.reshape(B, -1, Np, C)[:, :, :N, :]
+    x = x.reshape(B, Hp // ws, Wp // ws, ws, ws, C).transpose(0, 1, 3, 2, 4, 5)
+    x = x.reshape(B, Hp, Wp, C)
+    if shift:
+        x = jnp.roll(x, (shift, shift), axis=(1, 2))
+    return x.reshape(B, Hp * Wp, C)
+
+
+def transition_window_major_padded(x: jnp.ndarray, Hp: int, Wp: int,
+                                   window_size: int, src_shift: int,
+                                   dst_shift: int) -> jnp.ndarray:
+    """Between two padded window-major layouts: one roll by the shift
+    delta instead of exit-roll + enter-roll."""
+    B, _, C = x.shape
+    ws = window_size
+    N, Np = ws * ws, padded_window_tokens(ws)
+    x = x.reshape(B, -1, Np, C)[:, :, :N, :]
+    x = x.reshape(B, Hp // ws, Wp // ws, ws, ws, C).transpose(0, 1, 3, 2, 4, 5)
+    x = x.reshape(B, Hp, Wp, C)
+    d = src_shift - dst_shift
+    if d:
+        x = jnp.roll(x, (d, d), axis=(1, 2))
+    x = x.reshape(B, Hp // ws, ws, Wp // ws, ws, C).transpose(0, 1, 3, 2, 4, 5)
+    x = x.reshape(B, -1, N, C)
+    if Np != N:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, Np - N), (0, 0)))
+    return x.reshape(B, -1, C)
+
+
+def to_window_major(x: jnp.ndarray, Hp: int, Wp: int, window_size: int,
+                    shift: int) -> jnp.ndarray:
+    """(B, Hp*Wp, C) -> (B, nW*ws^2, C) unpadded window-major
+    (window_major_perm order)."""
+    B, _, C = x.shape
+    ws = window_size
+    x = x.reshape(B, Hp, Wp, C)
+    if shift:
+        x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+    x = x.reshape(B, Hp // ws, ws, Wp // ws, ws, C).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, Hp * Wp, C)
+
+
+def from_window_major(x: jnp.ndarray, Hp: int, Wp: int, window_size: int,
+                      shift: int) -> jnp.ndarray:
+    """Inverse of to_window_major."""
+    B, _, C = x.shape
+    ws = window_size
+    x = x.reshape(B, Hp // ws, Wp // ws, ws, ws, C).transpose(0, 1, 3, 2, 4, 5)
+    x = x.reshape(B, Hp, Wp, C)
+    if shift:
+        x = jnp.roll(x, (shift, shift), axis=(1, 2))
+    return x.reshape(B, Hp * Wp, C)
+
+
+def transition_window_major(x: jnp.ndarray, Hp: int, Wp: int,
+                            window_size: int, src_shift: int,
+                            dst_shift: int) -> jnp.ndarray:
+    """Between two unpadded window-major layouts (layout_transition order)."""
+    B, _, C = x.shape
+    ws = window_size
+    x = x.reshape(B, Hp // ws, Wp // ws, ws, ws, C).transpose(0, 1, 3, 2, 4, 5)
+    x = x.reshape(B, Hp, Wp, C)
+    d = src_shift - dst_shift
+    if d:
+        x = jnp.roll(x, (d, d), axis=(1, 2))
+    x = x.reshape(B, Hp // ws, ws, Wp // ws, ws, C).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, Hp * Wp, C)
+
+
 @functools.lru_cache(maxsize=None)
 def pad_token_mask_padded(H: int, W: int, Hp: int, Wp: int, window_size: int,
                           shift: int) -> np.ndarray:
