@@ -90,7 +90,10 @@ def bench_knn_vote(n_train: int = 1_281_167, n_test: int = 50_000,
 
 
 def bench_probe(dim: int = 2304, num_classes: int = 1000, B: int = 256,
-                iters: int = 200):
+                iters: int = 2000):
+    """One probe step is a (B,dim)@(dim,K) GEMM — microseconds on-device,
+    so per-call dispatch through the axon tunnel would swamp it; scan the
+    loop device-side and time ONE dispatch of `iters` steps."""
     from esvit_tpu.evals.linear import make_probe
 
     params, opt_state, step = make_probe(dim, num_classes, scaled_lr=1e-3,
@@ -99,11 +102,21 @@ def bench_probe(dim: int = 2304, num_classes: int = 1000, B: int = 256,
                                                              np.float32))
     y = jnp.asarray(np.random.default_rng(1).integers(0, num_classes, B,
                                                       np.int32))
-    params, opt_state, loss = step(params, opt_state, x, y, 0)
-    _ = float(loss)
+
+    @jax.jit
+    def run(params, opt_state):
+        def body(carry, _):
+            p, o = carry
+            p, o, loss = step(p, o, x, y)
+            return (p, o), loss
+        (p, o), losses = jax.lax.scan(body, (params, opt_state), None,
+                                      length=iters)
+        return p, o, losses[-1]
+
+    _, _, loss = run(params, opt_state)
+    _ = float(loss)                                # compile + sync
     t0 = time.perf_counter()
-    for i in range(iters):
-        params, opt_state, loss = step(params, opt_state, x, y, i)
+    _, _, loss = run(params, opt_state)
     _ = float(loss)
     dt = time.perf_counter() - t0
     sps = iters / dt
