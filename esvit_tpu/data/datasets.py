@@ -49,6 +49,15 @@ class ImageFolder:
         with Image.open(path) as img:
             return img.convert("RGB"), label
 
+    def raw_bytes(self, i: int):
+        """(encoded bytes, label) for the native decode fast path
+        (esvit_tpu/native); None for formats it should not attempt."""
+        path, label = self.samples[i]
+        if not path.lower().endswith((".jpg", ".jpeg")):
+            return None
+        with open(path, "rb") as f:
+            return f.read(), label
+
 
 class ZipData:
     """ImageNet-in-a-zip with a ``map_file`` of ``<member>\\t<class>`` lines
@@ -80,6 +89,12 @@ class ZipData:
         data = self._zf().read(member)
         return Image.open(io.BytesIO(data)).convert("RGB"), label
 
+    def raw_bytes(self, i: int):
+        member, label = self.samples[i]
+        if not member.lower().endswith((".jpg", ".jpeg")):
+            return None
+        return self._zf().read(member), label
+
 
 def generate_lineidx(tsv_path: str, lineidx_path: str) -> None:
     """Byte offsets of each row (ref: datasets/tsv_file.py:9-18)."""
@@ -101,8 +116,16 @@ class TSVFile:
         self.lineidx_path = os.path.splitext(tsv_path)[0] + ".lineidx"
         if not os.path.isfile(self.lineidx_path):
             generate_lineidx(tsv_path, self.lineidx_path)
-        with open(self.lineidx_path) as f:
-            self.offsets = [int(l) for l in f if l.strip()]
+        with open(self.lineidx_path, "rb") as f:
+            blob = f.read()
+        from esvit_tpu import native
+
+        if native.available():
+            # one-pass C parse: ~50x the int() loop on a 1.28M-line sidecar
+            self.offsets = native.lineidx_parse(blob)
+        else:
+            self.offsets = [int(l) for l in blob.decode().splitlines()
+                            if l.strip()]
         self._local = threading.local()
 
     def _fp(self):
@@ -155,6 +178,10 @@ class TSVDataset:
         row = self.tsv.seek(i)
         return _decode_b64_image(row[-1]), _label_from_json(row[1])
 
+    def raw_bytes(self, i: int):
+        row = self.tsv.seek(i)
+        return base64.b64decode(row[-1]), _label_from_json(row[1])
+
 
 class CompositeTSVDataset:
     """Many TSV shards behaving as one dataset, with chunk bookkeeping for
@@ -181,6 +208,11 @@ class CompositeTSVDataset:
         row = self.shards[s].seek(j)
         return _decode_b64_image(row[-1]), _label_from_json(row[1])
 
+    def raw_bytes(self, i: int):
+        s, j = self.shard_of(i)
+        row = self.shards[s].seek(j)
+        return base64.b64decode(row[-1]), _label_from_json(row[1])
+
 
 class TSVOpenImageDataset:
     """Multi-label OpenImages TSV: a separate label TSV maps image keys to
@@ -203,6 +235,16 @@ class TSVOpenImageDataset:
         except (ValueError, KeyError, IndexError, TypeError):
             label = -1
         return _decode_b64_image(img_row[-1]), label
+
+    def raw_bytes(self, i: int):
+        img_row = self.images.seek(i)
+        lab_row = self.labels.seek(i)
+        try:
+            labels = json.loads(lab_row[1])
+            label = int(labels[0]["class"]) if labels else -1
+        except (ValueError, KeyError, IndexError, TypeError):
+            label = -1
+        return base64.b64decode(img_row[-1]), label
 
 
 class TSVImageTextDataset:
@@ -307,6 +349,13 @@ class FileListDataset:
         rel, label = self.samples[i]
         with Image.open(os.path.join(self.root, rel)) as img:
             return img.convert("RGB"), label
+
+    def raw_bytes(self, i: int):
+        rel, label = self.samples[i]
+        if not rel.lower().endswith((".jpg", ".jpeg")):
+            return None
+        with open(os.path.join(self.root, rel), "rb") as f:
+            return f.read(), label
 
 
 class ProceduralShapes:

@@ -22,22 +22,37 @@ from typing import Any, Iterator, Optional
 import jax
 import numpy as np
 
+from esvit_tpu import native
 from esvit_tpu.config import CropConfig
 from esvit_tpu.data import augment_device, augment_host
 from esvit_tpu.data.sampler import sharded_indices
 
 
+def _sample_multicrop_boxes(crops: CropConfig, rng: random.Random,
+                            width: int, height: int):
+    """RRC boxes for all views, in the exact order the PIL path draws them
+    (g1, g2, locals) so both paths consume the rng stream identically.
+    Returns (boxes (n_views, 4) float64 (top, left, h, w), sizes list)."""
+    boxes = [augment_host.sample_rrc_params(rng, width, height,
+                                            crops.global_scale)
+             for _ in range(2)]
+    boxes += [augment_host.sample_rrc_params(rng, width, height,
+                                             crops.local_scale)
+              for _ in range(crops.local_crops_number)]
+    sizes = [crops.global_size] * 2 + \
+            [crops.local_size] * crops.local_crops_number
+    return np.asarray(boxes, np.float64), sizes
+
+
 def _crop_views_host_rrc(img, crops: CropConfig, rng: random.Random):
     """RandomResizedCrop only (uint8 HWC per view); photometrics on device."""
-    g1 = augment_host.random_resized_crop(img, crops.global_size,
-                                          crops.global_scale, rng)
-    g2 = augment_host.random_resized_crop(img, crops.global_size,
-                                          crops.global_scale, rng)
-    locs = [augment_host.random_resized_crop(img, crops.local_size,
-                                             crops.local_scale, rng)
-            for _ in range(crops.local_crops_number)]
-    to = lambda im: np.asarray(im, np.uint8)
-    return [to(g1), to(g2)] + [to(l) for l in locs]
+    boxes, sizes = _sample_multicrop_boxes(crops, rng, img.width, img.height)
+    out = []
+    for (top, left, h, w), s in zip(boxes, sizes):
+        view = img.resize((s, s), augment_host.Image.BICUBIC,
+                          box=(left, top, left + w, top + h))
+        out.append(np.asarray(view, np.uint8))
+    return out
 
 
 class MultiCropIterator:
@@ -48,7 +63,9 @@ class MultiCropIterator:
                  out_dtype=np.float32, num_threads: int = 4,
                  prefetch: int = 4, process_index: int = 0,
                  process_count: int = 1, device_rng: Optional[jax.Array] = None,
-                 sampler_kind: str = "sharded", num_repeats: int = 3):
+                 sampler_kind: str = "sharded", num_repeats: int = 3,
+                 native_decode: Optional[bool] = None,
+                 native_scaled: bool = True):
         self.dataset = dataset
         self.crops = crops
         self.B = batch_size
@@ -83,18 +100,64 @@ class MultiCropIterator:
             raise ValueError(f"unknown sampler_kind {sampler_kind!r}")
         self.num_threads = num_threads
         self.prefetch = prefetch
+        # Native JPEG decode + fused crop-resize (esvit_tpu/native): auto-on
+        # when the library builds and the dataset can hand us raw bytes.
+        # RRC geometry is sampled on the Python side first, so the rng
+        # stream — and therefore the crop boxes — are identical to the PIL
+        # path; only the resample rounding differs (+/-1 LSB, pinned by
+        # tests/test_native_datapath.py).
+        self.native_decode = (native.available() if native_decode is None
+                              else bool(native_decode))
+        self.native_scaled = native_scaled
 
     def __len__(self):
         return len(self.indices) // self.B
 
     def _sample_views(self, idx: int, sample_seed: int):
         rng = random.Random(sample_seed)
+        if self.native_decode and not self.host_aug:
+            views = self._sample_views_native(idx, rng)
+            if views is not None:
+                return views
         img, _ = self.dataset[int(idx)]
         if img.mode != "RGB":
             img = img.convert("RGB")
         if self.host_aug:
             return self.aug(img, rng)                    # float32 normalized
         return _crop_views_host_rrc(img, self.crops, rng)  # uint8
+
+    def _sample_views_native(self, idx: int, rng: random.Random):
+        """GIL-free decode + fused crop-resize. Returns None (with the rng
+        stream untouched) when the sample can't take the native path, so
+        the caller's PIL fallback draws identical crops."""
+        raw = getattr(self.dataset, "raw_bytes", None)
+        if raw is None:
+            return None
+        item = raw(int(idx))
+        if item is None:
+            return None
+        data = item[0]
+        dims = native.jpeg_dims(data)   # header probe; no rng consumed
+        if dims is None:
+            return None
+        w, h = dims
+        boxes, sizes = _sample_multicrop_boxes(self.crops, rng, w, h)
+        views = native.decode_multicrop(data, boxes, sizes,
+                                        allow_scaled=self.native_scaled)
+        if views is not None:
+            return views
+        # Decode failed after the rng was consumed: recreate the exact
+        # views via PIL with the already-sampled boxes.
+        import io as _io
+
+        from PIL import Image as _Image
+
+        with _Image.open(_io.BytesIO(data)) as img:
+            img = img.convert("RGB")
+            return [np.asarray(
+                img.resize((s, s), augment_host.Image.BICUBIC,
+                           box=(left, top, left + bw, top + bh)), np.uint8)
+                for (top, left, bh, bw), s in zip(boxes, sizes)]
 
     def _assemble(self, views_per_sample: list[list[np.ndarray]]):
         """B lists of [g1, g2, l1..lL] -> view-major batches."""

@@ -54,14 +54,29 @@ def merge_strided_shards(shards: np.ndarray, n: int) -> np.ndarray:
 def iter_batches(dataset, indices: Sequence[int],
                  transform: Callable[[object], np.ndarray],
                  batch_size: int, *, num_threads: int = 8,
-                 lookahead: int = 2) -> Iterator[tuple[np.ndarray, np.ndarray, int]]:
+                 lookahead: int = 2,
+                 transform_bytes: Callable[[bytes], "np.ndarray | None"] | None
+                 = None) -> Iterator[tuple[np.ndarray, np.ndarray, int]]:
     """Yield (images (B, ...), labels (B,), n_real) batches.
 
     Decodes with a thread pool and keeps ``lookahead`` batches in flight so
     host work overlaps the consumer's device work. The final batch is
     zero-padded to ``batch_size`` (n_real < batch_size marks the padding).
+
+    transform_bytes: optional fast path taking raw encoded bytes (from
+    ``dataset.raw_bytes``) straight to the transformed array — the native
+    C++ decode+resize (esvit_tpu/native). Any ``None`` return falls back to
+    the PIL ``transform``.
     """
+    raw = getattr(dataset, "raw_bytes", None) if transform_bytes else None
+
     def load(i):
+        if raw is not None:
+            item = raw(int(i))
+            if item is not None:
+                x = transform_bytes(item[0])
+                if x is not None:
+                    return x, item[1]
         img, label = dataset[int(i)]
         return transform(img), label
 
@@ -88,7 +103,8 @@ def iter_batches(dataset, indices: Sequence[int],
 
 def extract_dataset_features(fwd: Callable[[np.ndarray], np.ndarray],
                              dataset, transform, *, batch_size: int = 64,
-                             num_threads: int = 8) -> tuple[np.ndarray, np.ndarray]:
+                             num_threads: int = 8,
+                             transform_bytes=None) -> tuple[np.ndarray, np.ndarray]:
     """(features (N, C) f32, labels (N,) i32) in dataset order.
 
     fwd: batched image array -> feature array (jitted by the caller).
@@ -101,7 +117,8 @@ def extract_dataset_features(fwd: Callable[[np.ndarray], np.ndarray],
 
     feats, labels = [], []
     for x, y, n_real in iter_batches(dataset, my, transform, batch_size,
-                                     num_threads=num_threads):
+                                     num_threads=num_threads,
+                                     transform_bytes=transform_bytes):
         f = np.asarray(fwd(x), np.float32)[:n_real]
         feats.append(f)
         labels.append(y[:n_real])

@@ -45,6 +45,40 @@ def eval_transform(img: Image.Image, size: int = 224) -> np.ndarray:
     return (x - IMAGENET_MEAN) / IMAGENET_STD
 
 
+def eval_transform_bytes(data: bytes, size: int = 224):
+    """``eval_transform`` from raw JPEG bytes via the native C++ path
+    (esvit_tpu/native), or None to fall back to PIL.
+
+    Resize(256)+CenterCrop(size) folds into ONE fused crop+resize: PIL's
+    convolution resampler computes output pixel (left+xx) of the full
+    resize with source center ((left+xx)+0.5)*scale — identical to the
+    box-resample centers with box origin left*scale — so cropping after
+    resizing equals resampling the back-projected crop box directly
+    (within the +/-1 LSB float-vs-fixed accumulation difference the
+    native tests pin).
+    """
+    from esvit_tpu import native
+
+    if not native.available():
+        return None
+    dims = native.jpeg_dims(data)
+    if dims is None:
+        return None
+    w0, h0 = dims
+    scale = 256 / min(w0, h0)
+    rw, rh = round(w0 * scale), round(h0 * scale)
+    if rw < size or rh < size:
+        return None
+    sx, sy = w0 / rw, h0 / rh
+    left, top = (rw - size) // 2, (rh - size) // 2
+    box = np.array([[top * sy, left * sx, size * sy, size * sx]], np.float64)
+    views = native.decode_multicrop(data, box, [size])
+    if views is None:
+        return None
+    x = views[0].astype(np.float32) / 255.0
+    return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+
 def extract_features(apply_fn, variables, dataset, *, batch_size: int = 64,
                      size: int = 224, dtype=jnp.float32,
                      num_threads: int = 8):
@@ -58,7 +92,8 @@ def extract_features(apply_fn, variables, dataset, *, batch_size: int = 64,
     fwd = lambda x: jfwd(variables, jnp.asarray(x, dtype))
     f, lab_arr = extract_dataset_features(
         fwd, dataset, lambda img: eval_transform(img, size),
-        batch_size=batch_size, num_threads=num_threads)
+        batch_size=batch_size, num_threads=num_threads,
+        transform_bytes=lambda data: eval_transform_bytes(data, size))
     f /= np.maximum(np.linalg.norm(f, axis=1, keepdims=True), 1e-12)
     return f, lab_arr
 

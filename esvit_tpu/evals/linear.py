@@ -35,7 +35,8 @@ import optax
 
 from esvit_tpu import config as config_lib
 from esvit_tpu.data import datasets as datasets_lib
-from esvit_tpu.evals.knn import eval_transform, load_backbone_variables
+from esvit_tpu.evals.knn import (eval_transform, eval_transform_bytes,
+                                 load_backbone_variables)
 from esvit_tpu.models.registry import build_backbone
 from esvit_tpu.utils import schedules
 
@@ -70,7 +71,8 @@ def extract_probe_features(backbone, variables, dataset, *, n_last_blocks=4,
     return extract_dataset_features(
         lambda x: jfwd(variables, jnp.asarray(x)), dataset,
         lambda img: eval_transform(img, size),
-        batch_size=batch_size, num_threads=num_threads)
+        batch_size=batch_size, num_threads=num_threads,
+        transform_bytes=lambda data: eval_transform_bytes(data, size))
 
 
 def make_probe(dim: int, num_classes: int, *, scaled_lr: float,

@@ -58,6 +58,30 @@ def main():
         _crop_views_host_rrc(img, crops, rng)
     dt_rrc = (time.perf_counter() - t0) / n * 1e3
 
+    # (a2/a3) native C++ path (esvit_tpu/native): fused decode + 10-crop,
+    # exact and DCT-prescaled. Same rng stream as (a) -> same crop boxes.
+    from esvit_tpu import native
+    from esvit_tpu.data.loader import _sample_multicrop_boxes
+    dt_nat = dt_nat_scaled = float("nan")
+    if native.available():
+        for scaled, attr in [(False, "dt_nat"), (True, "dt_nat_scaled")]:
+            rng = random.Random(0)
+            t0 = time.perf_counter()
+            for i in range(n):
+                data, _ = ds.raw_bytes(i)
+                w, h = native.jpeg_dims(data)
+                boxes, szs = _sample_multicrop_boxes(crops, rng, w, h)
+                views = native.decode_multicrop(data, boxes, szs,
+                                                allow_scaled=scaled)
+                assert views is not None
+            val = (time.perf_counter() - t0) / n * 1e3
+            if scaled:
+                dt_nat_scaled = val
+            else:
+                dt_nat = val
+    else:
+        print(f"native path unavailable: {native.build_error()}")
+
     # (b) full host (PIL parity) pipeline: decode + RRC + jitter/blur/solarize
     from esvit_tpu.data.augment_host import DataAugmentationDINO
     aug = DataAugmentationDINO(global_size=crops.global_size,
@@ -85,9 +109,15 @@ def main():
     chip_samples_per_s = 125.4  # B=32 / 255.2 ms (BENCH r2 baseline)
     print(f"\nper-sample host cost (single core):")
     print(f"  decode + 10x RRC (device-aug path): {dt_rrc:7.2f} ms")
+    print(f"  native decode + fused 10-crop:      {dt_nat:7.2f} ms "
+          f"({dt_rrc/dt_nat:.1f}x)")
+    print(f"  native + DCT prescale:              {dt_nat_scaled:7.2f} ms "
+          f"({dt_rrc/dt_nat_scaled:.1f}x)")
     print(f"  full PIL reference pipeline:        {dt_full:7.2f} ms")
     print(f"  host_aug iterator end-to-end:       {dt_iter:7.2f} ms")
-    for name, ms in [("device-aug path", dt_rrc), ("host-aug path", dt_full)]:
+    for name, ms in [("device-aug path", dt_rrc),
+                     ("native device-aug path", dt_nat_scaled),
+                     ("host-aug path", dt_full)]:
         cores = chip_samples_per_s * ms / 1e3
         print(f"  -> cores to feed one chip at {chip_samples_per_s:.0f} "
               f"samples/s via {name}: {cores:.1f}")
