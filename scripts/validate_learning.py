@@ -43,13 +43,18 @@ def main():
     p.add_argument("--size", choices=["nano", "femto"], default="nano",
                    help="nano: 3-stage Swin @64px (stronger signal, ~4min); "
                         "femto: 2-stage @32px (~2min)")
-    p.add_argument("--backbone", choices=["swin", "vil"], default="swin",
+    p.add_argument("--backbone", choices=["swin", "vil", "cvt"],
+                   default="swin",
                    help="vil: nano Vision-Longformer with two SPARSE "
                         "(sliding-chunk) stages + global tokens, so the "
                         "fused kernel (ops/sliding_chunk_fused.py) is on "
                         "the training path — its learning-level evidence "
                         "(VERDICT r4 item 1). --no-fused maps to "
-                        "fused_sc='off' (same einsum math, kernel off)")
+                        "fused_sc='off' (same einsum math, kernel off). "
+                        "cvt: nano 3-stage conv-QKV+BN CvT — trainability "
+                        "canary for the third backbone family (the XLA "
+                        "path, no custom kernel; SyncBN statistics ride "
+                        "the same jit'd step)")
     p.add_argument("--no-dense", dest="dense", action="store_false",
                    help="disable the region-level (DDINO) task")
     p.add_argument("--task", choices=["shapes", "shapes_hard"],
@@ -118,6 +123,22 @@ def main():
                 "l1,h2,d32,n2,s1,g1,p4,f4_l2,h4,d64,n2,s1,g1,p2,f4_"
                 "l3,h4,d128,n2,s0,g1,p2,f4",
                 img_size=g_size)
+        elif args.backbone == "cvt":
+            # Nano 3-stage CvT (conv-QKV projections + BN, QuickGELU) —
+            # same token geometry as the nano Swin (64px -> 16x16 -> 8x8
+            # -> 4x4). Exercises the SyncBN-under-jit statistics and the
+            # depthwise-conv QKV path end-to-end (models/cvt.py).
+            model = config.CvTConfig(img_size=g_size, stages=(
+                config.CvTStageConfig(patch_size=3, patch_stride=4,
+                                      patch_padding=1, embed_dim=32,
+                                      depth=1, num_heads=2),
+                config.CvTStageConfig(patch_size=3, patch_stride=2,
+                                      patch_padding=1, embed_dim=64,
+                                      depth=1, num_heads=4),
+                config.CvTStageConfig(patch_size=3, patch_stride=2,
+                                      patch_padding=1, embed_dim=128,
+                                      depth=2, num_heads=4),
+            ))
         else:
             model = config.SwinConfig(img_size=g_size, patch_size=4,
                                       embed_dim=32, depths=(2, 2, 2),
@@ -132,6 +153,8 @@ def main():
     if args.backbone == "vil":
         if not args.fused:
             overrides["fused_sc"] = "off"
+    elif args.backbone == "cvt":
+        pass                        # no kernel-path knobs: XLA path only
     else:
         if not args.fused:
             overrides["fused_block_stages"] = ()
@@ -177,18 +200,24 @@ def main():
     state = trainer.init_state(jax.random.PRNGKey(0), example)
     step_fn = jax.jit(trainer.train_step)
 
-    def knn_accuracy(params, tag):
+    def knn_accuracy(params, tag, extra_cols=None):
         from esvit_tpu.models.registry import build_backbone
 
         backbone = build_backbone(cfg.model)
         variables = {"params": jax.tree.map(jnp.asarray, params["backbone"])}
+        # BN backbones (CvT/ResNet): the teacher's batch_stats ride along
+        # (ref eval protocol runs the frozen teacher in eval mode).
+        for col, tree in (extra_cols or {}).items():
+            if tree and "backbone" in tree:
+                variables[col] = jax.tree.map(jnp.asarray, tree["backbone"])
         res = run_knn_eval(backbone, variables, val_train, val_test,
                            ks=(10,), batch_size=32, size=g_size)
         t1 = res[10][0]
         print(f"[{tag}] 10-NN top-1: {t1:.2f}%", flush=True)
         return t1
 
-    acc_before = knn_accuracy(jax.device_get(state.teacher), "random init")
+    acc_before = knn_accuracy(jax.device_get(state.teacher), "random init",
+                              jax.device_get(state.teacher_state))
 
     rng = jax.random.PRNGKey(1)
     t0 = time.time()
@@ -205,7 +234,8 @@ def main():
             if args.eval_every and steps_done % args.eval_every == 0 \
                     and steps_done < args.steps:
                 knn_accuracy(jax.device_get(state.teacher),
-                             f"step {steps_done}")
+                             f"step {steps_done}",
+                             jax.device_get(state.teacher_state))
             if (args.max_seconds is not None
                     and time.time() - t0 > args.max_seconds):
                 print(f"[budget] stopping at step {steps_done} after "
@@ -231,7 +261,8 @@ def main():
                 break
         epoch += 1
 
-    acc_after = knn_accuracy(jax.device_get(state.teacher), "trained")
+    acc_after = knn_accuracy(jax.device_get(state.teacher), "trained",
+                             jax.device_get(state.teacher_state))
     print(f"\nresult: {acc_before:.1f}% -> {acc_after:.1f}% "
           f"({steps_done} steps, {time.time() - t0:.0f}s, task={args.task}, "
           f"backbone={args.backbone}, fused={args.fused}, "
@@ -257,6 +288,12 @@ def main():
                 # warmup), so min_gain 0 > is meaningless there — keep
                 # the absolute-chance and finite asserts as the signal.
                 min_gain = 6.0 if args.steps >= 5000 else -1.0
+            elif args.backbone == "cvt":
+                # No measured nano-CvT margin baseline yet: first runs
+                # are NaN/divergence canaries (absolute chance*1.25
+                # assert + finite loss/centers still apply). Pin a real
+                # bar here once a 6000-step margin is measured on-chip.
+                min_gain = -1.0
         else:
             min_gain = 5.0
     # Absolute sanity first (ADVICE r2): the relative gate alone can pass on
